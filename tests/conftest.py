@@ -1,0 +1,25 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh (the driver separately dry-runs the
+multi-chip path); float64 is enabled so numeric-vs-analytic Jacobian checks
+(the reference's factor ``Check()`` pattern) can use tight tolerances.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
