@@ -1,0 +1,241 @@
+"""Synthetic LiDAR + IMU data generation (host-side, numpy).
+
+The reference tests the optimizer against a simulated IMU trajectory with
+ground truth (test/test_imu_processor/test_imu_factor.cc + LoadVirtual.h).
+We extend that pattern to full closed-loop testing: an analytic indoor world
+(box room + pillars) is ray-cast from a continuously moving sensor to produce
+Velodyne-like sweeps with per-point timestamps (motion skew included), and an
+analytically consistent IMU stream is derived from the same trajectory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Callable, List, Tuple
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+
+# ---------------------------------------------------------------------------
+# World model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BoxRoom:
+    """Axis-aligned room interior [xmin,xmax]x[ymin,ymax]x[zmin,zmax]."""
+
+    bounds: np.ndarray  # (2, 3): row 0 = min, row 1 = max
+
+    def ray_hit(self, origin: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        """Distance to the room shell from inside, per ray. dirs: (N,3)."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_min = (self.bounds[0] - origin) / dirs  # (N,3)
+            t_max = (self.bounds[1] - origin) / dirs
+        t_far = np.maximum(t_min, t_max)  # exit distance per axis
+        t_far[~np.isfinite(t_far)] = np.inf
+        return np.min(t_far, axis=-1)
+
+
+@dataclass
+class Box:
+    """Axis-aligned solid obstacle (pillar/furniture)."""
+
+    bounds: np.ndarray  # (2, 3)
+
+    def ray_hit(self, origin: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t0 = (self.bounds[0] - origin) / dirs
+            t1 = (self.bounds[1] - origin) / dirs
+        t_near = np.nanmax(np.minimum(t0, t1), axis=-1)
+        t_far = np.nanmin(np.maximum(t0, t1), axis=-1)
+        hit = (t_near <= t_far) & (t_far > 0) & (t_near > 0)
+        return np.where(hit, t_near, np.inf)
+
+
+def default_world() -> Tuple[BoxRoom, List[Box]]:
+    room = BoxRoom(np.array([[-6.0, -5.0, -1.5], [7.0, 4.0, 2.5]]))
+    pillars = [
+        Box(np.array([[2.0, -1.5, -1.5], [2.6, -0.9, 2.5]])),
+        Box(np.array([[-3.0, 1.0, -1.5], [-2.2, 1.8, 2.5]])),
+        Box(np.array([[4.5, 2.0, -1.5], [5.3, 2.8, 0.5]])),
+        Box(np.array([[-4.5, -3.5, -1.5], [-3.9, -2.9, 1.0]])),
+    ]
+    return room, pillars
+
+
+def cast_rays(origin: np.ndarray, dirs: np.ndarray, room: BoxRoom, obstacles: List[Box]) -> np.ndarray:
+    t = room.ray_hit(origin, dirs)
+    for ob in obstacles:
+        t = np.minimum(t, ob.ray_hit(origin, dirs))
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Trajectory
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Trajectory:
+    """Analytic trajectory: t -> (R_wb, p_w, v_w, a_w, omega_b).
+
+    Sinusoidal translation + yaw wobble, twice differentiable so IMU
+    measurements are exact.
+    """
+
+    pos_amp: np.ndarray = dataclasses.field(default_factory=lambda: np.array([1.5, 1.0, 0.15]))
+    pos_freq: np.ndarray = dataclasses.field(default_factory=lambda: np.array([0.25, 0.2, 0.5]))
+    yaw_amp: float = 0.6
+    yaw_freq: float = 0.15
+    pitch_amp: float = 0.06
+    roll_amp: float = 0.05
+    rp_freq: float = 0.3
+    g_norm: float = 9.805
+
+    def pose(self, t: float):
+        w = 2.0 * np.pi * self.pos_freq
+        p = self.pos_amp * np.sin(w * t)
+        v = self.pos_amp * w * np.cos(w * t)
+        a = -self.pos_amp * w * w * np.sin(w * t)
+
+        wy = 2.0 * np.pi * self.yaw_freq
+        wr = 2.0 * np.pi * self.rp_freq
+        yaw = self.yaw_amp * np.sin(wy * t)
+        pitch = self.pitch_amp * np.sin(wr * t)
+        roll = self.roll_amp * np.cos(wr * t)
+        rot = Rotation.from_euler("ZYX", [yaw, pitch, roll])
+
+        # analytic body rates from euler rates (ZYX convention)
+        dyaw = self.yaw_amp * wy * np.cos(wy * t)
+        dpitch = self.pitch_amp * wr * np.cos(wr * t)
+        droll = -self.roll_amp * wr * np.sin(wr * t)
+        sy, cy = np.sin(yaw), np.cos(yaw)
+        sp, cp = np.sin(pitch), np.cos(pitch)
+        sr, cr = np.sin(roll), np.cos(roll)
+        # omega in body frame for ZYX euler rates
+        omega_b = np.array(
+            [
+                droll - dyaw * sp,
+                dpitch * cr + dyaw * cp * sr,
+                -dpitch * sr + dyaw * cp * cr,
+            ]
+        )
+        return rot, p, v, a, omega_b
+
+    def imu(self, t: float):
+        """Ideal IMU: body acc (incl. gravity reaction) + body rates."""
+        rot, p, v, a, omega_b = self.pose(t)
+        g_w = np.array([0.0, 0.0, -self.g_norm])
+        acc_b = rot.inv().apply(a - g_w)
+        return acc_b, omega_b
+
+
+# ---------------------------------------------------------------------------
+# LiDAR simulation
+# ---------------------------------------------------------------------------
+
+
+def simulate_sweep(
+    traj: Trajectory,
+    t0: float,
+    *,
+    n_rings: int = 16,
+    lower_deg: float = -15.0,
+    upper_deg: float = 15.0,
+    n_azimuth: int = 720,
+    scan_period: float = 0.1,
+    room: BoxRoom | None = None,
+    obstacles: List[Box] | None = None,
+    max_range: float = 80.0,
+    noise_std: float = 0.0,
+    rng: np.random.Generator | None = None,
+    extrinsic_lb: Tuple[np.ndarray, np.ndarray] | None = None,
+):
+    """Simulate one sweep starting at time t0.
+
+    Returns (xyz (N,3) float32 in the sensor frame at t0**, mask, t_gt):
+    ** points are expressed in the LiDAR frame at each firing time — i.e.,
+    motion-skewed, exactly like a real spinning LiDAR. Output order is
+    firing-major (all rings per azimuth step), matching Velodyne packets.
+
+    ``extrinsic_lb``: optional (q_lb wxyz, t_lb) laser->body transform; the
+    trajectory is the BODY trajectory, the sensor rides at T_wl = T_wb * T_bl.
+    """
+    if room is None:
+        room, obstacles = default_world()
+    if obstacles is None:
+        obstacles = []
+
+    elev = np.deg2rad(np.linspace(lower_deg, upper_deg, n_rings))
+    pts = np.zeros((n_azimuth, n_rings, 3), dtype=np.float64)
+    valid = np.zeros((n_azimuth, n_rings), dtype=bool)
+
+    if extrinsic_lb is not None:
+        q_lb, t_lb = extrinsic_lb
+        rot_lb = Rotation.from_quat(np.roll(np.asarray(q_lb), -1))
+        rot_bl = rot_lb.inv()
+        t_bl = -rot_bl.apply(np.asarray(t_lb))
+
+    for a_i in range(n_azimuth):
+        tau = a_i / n_azimuth
+        t = t0 + tau * scan_period
+        rot_wb, p_wb, _, _, _ = traj.pose(t)
+        if extrinsic_lb is not None:
+            rot_ws = rot_wb * rot_bl
+            p_ws = rot_wb.apply(t_bl) + p_wb
+        else:
+            rot_ws, p_ws = rot_wb, p_wb
+
+        # azimuth convention: azi = 2*pi - atan2(y, x) grows with time
+        azi = 2.0 * np.pi * tau
+        theta = -azi  # atan2(y,x) angle in sensor frame
+        d_sensor = np.stack(
+            [np.cos(theta) * np.cos(elev), np.sin(theta) * np.cos(elev), np.sin(elev)],
+            axis=-1,
+        )  # (R, 3)
+        d_world = rot_ws.apply(d_sensor)
+        dist = cast_rays(p_ws, d_world, room, obstacles)
+        ok = np.isfinite(dist) & (dist < max_range) & (dist > 0.3)
+        dist = np.where(ok, dist, 1.0)
+        if noise_std > 0 and rng is not None:
+            dist = dist + rng.normal(0, noise_std, size=dist.shape)
+        pts[a_i] = d_sensor * dist[:, None]
+        valid[a_i] = ok
+
+    xyz = pts.reshape(-1, 3).astype(np.float32)
+    mask = valid.reshape(-1)
+    return xyz, mask
+
+
+def simulate_imu_interval(traj: Trajectory, t_start: float, t_end: float, rate_hz: float = 200.0,
+                          noise: dict | None = None, rng: np.random.Generator | None = None):
+    """IMU samples in (t_start, t_end]; returns (ts, acc (M,3), gyr (M,3))."""
+    n = int(round((t_end - t_start) * rate_hz))
+    ts = t_start + (np.arange(1, n + 1)) / rate_hz
+    acc = np.zeros((n, 3))
+    gyr = np.zeros((n, 3))
+    for i, t in enumerate(ts):
+        a, w = traj.imu(t)
+        acc[i], gyr[i] = a, w
+    if noise and rng is not None:
+        acc = acc + rng.normal(0, noise.get("acc_n", 0.0), acc.shape)
+        gyr = gyr + rng.normal(0, noise.get("gyr_n", 0.0), gyr.shape)
+    return ts, acc, gyr
+
+
+def gt_sensor_pose(traj: Trajectory, t: float, extrinsic_lb=None):
+    """Ground-truth LiDAR pose (q wxyz, p) in world at time t."""
+    rot_wb, p_wb, _, _, _ = traj.pose(t)
+    if extrinsic_lb is not None:
+        q_lb, t_lb = extrinsic_lb
+        rot_lb = Rotation.from_quat(np.roll(np.asarray(q_lb), -1))
+        rot_bl = rot_lb.inv()
+        t_bl = -rot_bl.apply(np.asarray(t_lb))
+        rot_ws = rot_wb * rot_bl
+        p_ws = rot_wb.apply(t_bl) + p_wb
+    else:
+        rot_ws, p_ws = rot_wb, p_wb
+    return np.roll(rot_ws.as_quat(), 1), p_ws
