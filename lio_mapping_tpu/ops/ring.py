@@ -88,7 +88,7 @@ def project_to_rings(
     out_rt = grid_rt[:r_cap].reshape(n_rings, max_points_per_ring)
     out_mask = grid_mask[:r_cap].reshape(n_rings, max_points_per_ring)
     out_count = jnp.minimum(counts, max_points_per_ring).astype(jnp.int32)
-    return RingCloud(out_xyz, out_rt, out_mask, out_count)
+    return RingCloud(out_xyz, out_rt, out_mask, out_count), start_ori
 
 
 def ring_cloud_to_flat(rc: RingCloud) -> Cloud:

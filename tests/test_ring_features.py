@@ -24,7 +24,7 @@ def sweep():
 def ring_cloud(sweep):
     xyz, mask = sweep
     sensor = SensorConfig.vlp16()
-    rc = R.project_to_rings(
+    rc, _ = R.project_to_rings(
         jnp.asarray(xyz), jnp.asarray(mask),
         n_rings=sensor.n_rings,
         lower_bound_deg=sensor.lower_bound_deg,
@@ -120,7 +120,7 @@ class TestFeatures:
             pos_amp=np.zeros(3), yaw_amp=0.0, pitch_amp=0.0, roll_amp=0.0)
         xyz, mask = synthetic.simulate_sweep(traj, 0.0, n_azimuth=720)
         sensor = SensorConfig.vlp16()
-        rc = R.project_to_rings(
+        rc, _ = R.project_to_rings(
             jnp.asarray(xyz), jnp.asarray(mask),
             n_rings=sensor.n_rings,
             lower_bound_deg=sensor.lower_bound_deg,
