@@ -167,12 +167,20 @@ def to_axis_angle(q: jnp.ndarray):
 
 
 def exp(phi: jnp.ndarray) -> jnp.ndarray:
-    """SO(3) exponential: rotation vector -> unit quaternion."""
-    angle = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    """SO(3) exponential: rotation vector -> unit quaternion.
+
+    Autodiff-safe at phi = 0 (norm is computed on a guarded argument so the
+    untaken branch of the small-angle select cannot produce NaN gradients).
+    """
+    sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
+    small = sq < 1e-16
+    angle = jnp.sqrt(jnp.where(small, 1.0, sq))  # guarded: no sqrt(0) grad
     half = 0.5 * angle
-    # sin(x)/x stable near 0
-    k = jnp.where(angle < 1e-8, 0.5 - angle * angle / 48.0, jnp.sin(half) / jnp.maximum(angle, 1e-30))
-    return jnp.concatenate([jnp.cos(half), k * phi], axis=-1)
+    k_small = 0.5 - sq / 48.0
+    k_big = jnp.sin(half) / angle
+    k = jnp.where(small, k_small, k_big)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
+    return jnp.concatenate([w, k * phi], axis=-1)
 
 
 def log(q: jnp.ndarray) -> jnp.ndarray:
