@@ -160,11 +160,13 @@ class TestImuFactorJacobians:
         # VINS analytic Jacobians are first-order in the bias-correction
         # terms (reference uses them as-is); whitening scales rows to
         # O(100), so compare with mixed relative/absolute tolerance.
-        for ja, sl in [(jp_i, slice(0, 6)), (jsb_i, slice(6, 15)),
-                       (jp_j, slice(15, 21)), (jsb_j, slice(21, 30))]:
+        # jsb_i carries the bias-correction approximation (few % at
+        # |bg| ~ 5e-3); the pose blocks are near-exact.
+        for ja, sl, tol in [(jp_i, slice(0, 6), 1e-4), (jsb_i, slice(6, 15), 5e-2),
+                            (jp_j, slice(15, 21), 1e-4), (jsb_j, slice(21, 30), 1e-6)]:
             jn = np.asarray(j_num[:, sl])
             err = np.abs(np.asarray(ja) - jn) / (1.0 + np.abs(jn))
-            assert err.max() < 5e-3, f"block {sl}: max scaled err {err.max()}"
+            assert err.max() < tol, f"block {sl}: max scaled err {err.max()}"
 
 
 class TestPivotPointPlaneJacobians:
