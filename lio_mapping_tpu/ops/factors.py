@@ -177,9 +177,11 @@ def prior_factor(p, q, pos_prior, rot_prior):
     res = jnp.concatenate([p - pos_prior, 2.0 * dq[1:4]])
     sqrt_info = jnp.diag(jnp.asarray([1000.0] * 3 + [0.1] * 3, dtype=dtype))
 
+    # NOTE: exact derivative d[2 vec(rot^-1 q [1, dtheta/2])]/d dtheta
+    # = L(rot^-1 q)[:3,:3]; the reference's L(Q^-1 rot) flips the skew part
+    # (PriorFactor.cc:59) — harmless near convergence, exact here.
     jac = jnp.eye(6, dtype=dtype)
-    jac = jac.at[3:6, 3:6].set(
-        quat.left_matrix(quat.qmul(quat.conjugate(q), rot_prior))[:3, :3])
+    jac = jac.at[3:6, 3:6].set(quat.left_matrix(dq)[:3, :3])
     return sqrt_info @ res, sqrt_info @ jac
 
 
@@ -193,12 +195,9 @@ def cauchy_scaling(sq_norm: jnp.ndarray, scale: float = 1.0):
     """
     c2 = scale * scale
     rho1 = 1.0 / (1.0 + sq_norm / c2)
-    rho2 = -rho1 * rho1 / c2
     sqrt_rho1 = jnp.sqrt(rho1)
-
-    ok = (sq_norm > 0.0) & (rho2 < 0.0)
-    d = 1.0 + 2.0 * sq_norm * rho2 / rho1
-    alpha = jnp.where(ok, 1.0 - jnp.sqrt(jnp.maximum(d, 0.0)), 0.0)
-    residual_scale = jnp.where(ok, sqrt_rho1 / (1.0 - alpha), sqrt_rho1)
-    jac_scale = sqrt_rho1 * (1.0 - alpha)
-    return residual_scale, jac_scale
+    # Ceres' Corrector only applies the alpha correction when rho'' > 0;
+    # Cauchy is concave (rho'' < 0 everywhere), so the correction never
+    # fires and both scalings reduce to sqrt(rho') — exactly the
+    # (sq_norm == 0 || rho[2] <= 0) branch of MarginalizationFactor.cc:80-82.
+    return sqrt_rho1, sqrt_rho1

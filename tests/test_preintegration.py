@@ -223,14 +223,10 @@ class TestPriorFactor:
 
 class TestCauchy:
     def test_matches_ceres_formulas(self):
+        """Cauchy is concave (rho'' < 0), so Ceres' corrector reduces to the
+        plain sqrt(rho') scaling for residual AND jacobian."""
         for s in [0.0, 0.3, 5.0]:
             rs, js = FA.cauchy_scaling(jnp.asarray(s), 1.0)
             rho1 = 1.0 / (1.0 + s)
-            rho2 = -rho1 * rho1
-            if s == 0:
-                assert float(rs) == pytest.approx(np.sqrt(rho1))
-            else:
-                d = 1.0 + 2.0 * s * rho2 / rho1
-                alpha = 1.0 - np.sqrt(d)
-                assert float(rs) == pytest.approx(np.sqrt(rho1) / (1 - alpha))
-                assert float(js) == pytest.approx(np.sqrt(rho1) * (1 - alpha))
+            assert float(rs) == pytest.approx(np.sqrt(rho1))
+            assert float(js) == pytest.approx(np.sqrt(rho1))
