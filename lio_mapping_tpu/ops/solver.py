@@ -1,0 +1,356 @@
+"""Batched sliding-window Gauss-Newton/LM solver — the Ceres replacement.
+
+Parity target: Estimator::SolveOptimization's Ceres problem
+(src/imu_processor/Estimator.cc:1648-2040): pose + speed-bias blocks for the
+opt window, an extrinsic block, and four residual groups — marginalization
+prior, IMU preintegration factors, pivot point-plane factors (CauchyLoss
+1.0), and the extrinsic prior. DENSE_SCHUR+DOGLEG (<=10 iterations) becomes
+dense LM on the full (15(S+1)+6)-dim system: at this size a Schur split
+buys nothing on TPU — one fused J^T J matmul rides the MXU and the solve is
+a ~126x126 Cholesky.
+
+State vector layout (S = opt_window_size):
+    [pose_0..pose_S (6 each) | sb_0..sb_S (9 each) | ex (6)]
+pose_0 is the pivot. Kept-prior columns map contiguously into this layout
+(poses 0..S-1, sbs 0..S-1, ex) — the addr-shift of Estimator.cc:2230-2238
+becomes a no-op by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import quaternion as quat
+from . import factors as FA
+from . import marginalization as MG
+from .preintegration import Preintegration
+
+
+class OptStates(NamedTuple):
+    """Optimization window states (body frame), leading dim S+1."""
+
+    q: jnp.ndarray   # (S+1, 4)
+    p: jnp.ndarray   # (S+1, 3)
+    sb: jnp.ndarray  # (S+1, 9) [v, ba, bg]
+    ex_q: jnp.ndarray  # (4,) laser->body rotation
+    ex_p: jnp.ndarray  # (3,)
+
+
+class PlaneFactors(NamedTuple):
+    """Pivot point-plane features for opt frames 1..S (leading dim S)."""
+
+    point: jnp.ndarray  # (S, F, 3) laser-frame points of frame i
+    coeff: jnp.ndarray  # (S, F, 4) plane coeffs in pivot laser frame
+    mask: jnp.ndarray   # (S, F)
+
+
+class SolveDiagnostics(NamedTuple):
+    cost_marg: jnp.ndarray
+    cost_imu: jnp.ndarray
+    cost_plane: jnp.ndarray
+    n_plane: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def _layout(s: int):
+    pose_off = 0
+    sb_off = 6 * (s + 1)
+    ex_off = sb_off + 9 * (s + 1)
+    dim = ex_off + 6
+    return pose_off, sb_off, ex_off, dim
+
+
+def _evaluate(
+    x: OptStates,
+    pres: Preintegration,       # batched (S,) pre_integrations[pivot+1..window]
+    g_vec: jnp.ndarray,
+    planes: PlaneFactors,
+    prior: MG.PriorState,
+    ex_prior: tuple,            # (q_lb0, t_lb0) or None
+    cfg_flags: dict,
+    s: int,
+):
+    """Residuals + dense Jacobians for all factor groups.
+
+    Returns dict of (J (N, D), r (N,), w (N,)) per group.
+    """
+    dtype = x.p.dtype
+    pose_off, sb_off, ex_off, dim = _layout(s)
+    out = {}
+
+    # ---- marginalization prior ----
+    n = 15 * s + 6
+    r_marg = MG.prior_residual(prior, x.q[:s], x.p[:s], x.sb[:s], x.ex_q, x.ex_p)
+    j_marg = jnp.zeros((n, dim), dtype)
+    j_marg = j_marg.at[:, pose_off:pose_off + 6 * s].set(prior.lin_jac[:, : 6 * s])
+    j_marg = j_marg.at[:, sb_off:sb_off + 9 * s].set(prior.lin_jac[:, 6 * s:15 * s])
+    j_marg = j_marg.at[:, ex_off:ex_off + 6].set(prior.lin_jac[:, 15 * s:])
+    w_marg = jnp.where(prior.valid, jnp.ones((n,), dtype), jnp.zeros((n,), dtype))
+    out["marg"] = (j_marg, r_marg, w_marg)
+
+    # ---- IMU factors between consecutive opt frames ----
+    def one_imu(pre_i, i):
+        res, (jp_i, jsb_i, jp_j, jsb_j) = FA.imu_factor(
+            pre_i, g_vec,
+            x.p[i], x.q[i], x.sb[i, 0:3], x.sb[i, 3:6], x.sb[i, 6:9],
+            x.p[i + 1], x.q[i + 1], x.sb[i + 1, 0:3], x.sb[i + 1, 3:6], x.sb[i + 1, 6:9])
+        return res, jp_i, jsb_i, jp_j, jsb_j
+
+    res_imu, jp_i, jsb_i, jp_j, jsb_j = jax.vmap(one_imu)(pres, jnp.arange(s))
+    j_imu = jnp.zeros((s, 15, dim), dtype)
+    for i in range(s):
+        j_imu = j_imu.at[i, :, pose_off + 6 * i:pose_off + 6 * i + 6].set(jp_i[i])
+        j_imu = j_imu.at[i, :, sb_off + 9 * i:sb_off + 9 * i + 9].set(jsb_i[i])
+        j_imu = j_imu.at[i, :, pose_off + 6 * (i + 1):pose_off + 6 * (i + 1) + 6].set(jp_j[i])
+        j_imu = j_imu.at[i, :, sb_off + 9 * (i + 1):sb_off + 9 * (i + 1) + 9].set(jsb_j[i])
+    # skip pre-integrations spanning > 10 s (Estimator.cc:1799)
+    w_imu = jnp.where(pres.sum_dt < 10.0, 1.0, 0.0).astype(dtype)
+    w_imu = jnp.broadcast_to(w_imu[:, None], (s, 15)).reshape(-1)
+    out["imu"] = (j_imu.reshape(s * 15, dim), res_imu.reshape(-1), w_imu)
+
+    # ---- pivot point-plane factors (frames 1..S) with Cauchy ----
+    f_cap = planes.point.shape[1]
+
+    def one_frame(i):
+        def one_feat(pt, co):
+            return FA.pivot_point_plane_factor(
+                pt, co, x.p[0], x.q[0], x.p[i + 1], x.q[i + 1], x.ex_p, x.ex_q)
+        res, (j_piv, j_i, j_ex) = jax.vmap(one_feat)(planes.point[i], planes.coeff[i])
+        return res, j_piv, j_i, j_ex
+
+    res_p, jpiv, ji, jex = [], [], [], []
+    for i in range(s):
+        r_i, j_piv_i, j_i_i, j_ex_i = one_frame(i)
+        res_p.append(r_i)
+        jpiv.append(j_piv_i)
+        ji.append(j_i_i)
+        jex.append(j_ex_i)
+
+    j_plane = jnp.zeros((s, f_cap, dim), dtype)
+    for i in range(s):
+        j_plane = j_plane.at[i, :, pose_off:pose_off + 6].set(jpiv[i])
+        j_plane = j_plane.at[i, :, pose_off + 6 * (i + 1):pose_off + 6 * (i + 1) + 6].set(ji[i])
+        j_plane = j_plane.at[i, :, ex_off:ex_off + 6].set(jex[i])
+    res_plane = jnp.stack(res_p)  # (S, F)
+
+    r_scale, j_scale = FA.cauchy_scaling(res_plane * res_plane, cfg_flags["cauchy_scale"])
+    w_plane = planes.mask.astype(dtype).reshape(-1)
+    out["plane"] = (
+        (j_plane * j_scale[..., None]).reshape(s * f_cap, dim),
+        (res_plane * r_scale).reshape(-1),
+        w_plane,
+    )
+
+    # ---- extrinsic prior (outdoor_64 profile) ----
+    if ex_prior is not None:
+        q_lb0, t_lb0 = ex_prior
+        r_ex, j_ex6 = FA.prior_factor(x.ex_p, x.ex_q, t_lb0, q_lb0)
+        j_exf = jnp.zeros((6, dim), dtype).at[:, ex_off:ex_off + 6].set(j_ex6)
+        out["ex_prior"] = (j_exf, r_ex, jnp.ones((6,), dtype))
+
+    return out
+
+
+def group_costs(groups):
+    """Ceres-style 0.5 * sum r^2 per group (for the convergence gates)."""
+    return {k: 0.5 * jnp.sum(w * r * r) for k, (j, r, w) in groups.items()}
+
+
+def _retract(x: OptStates, dx: jnp.ndarray, s: int) -> OptStates:
+    """Apply a local step (PoseLocalParameterization: q * DeltaQ(dtheta))."""
+    pose_off, sb_off, ex_off, _ = _layout(s)
+    dpose = dx[pose_off:pose_off + 6 * (s + 1)].reshape(s + 1, 6)
+    dsb = dx[sb_off:sb_off + 9 * (s + 1)].reshape(s + 1, 9)
+    dex = dx[ex_off:ex_off + 6]
+    return OptStates(
+        q=quat.normalize(quat.qmul(x.q, quat.delta_q(dpose[:, 3:6]))),
+        p=x.p + dpose[:, 0:3],
+        sb=x.sb + dsb,
+        ex_q=quat.normalize(quat.qmul(x.ex_q, quat.delta_q(dex[3:6]))),
+        ex_p=x.ex_p + dex[0:3],
+    )
+
+
+def solve_window(
+    x0: OptStates,
+    pres: Preintegration,
+    g_vec: jnp.ndarray,
+    planes: PlaneFactors,
+    prior: MG.PriorState,
+    ex_prior,
+    *,
+    s: int,
+    max_iterations: int = 10,
+    cauchy_scale: float = 1.0,
+    opt_extrinsic,
+    use_marg,
+):
+    """LM over the window. Returns (x_opt, diagnostics)."""
+    dtype = x0.p.dtype
+    pose_off, sb_off, ex_off, dim = _layout(s)
+    flags = {"cauchy_scale": cauchy_scale}
+
+    free = jnp.ones((dim,), dtype)
+    free = free.at[ex_off:ex_off + 6].set(
+        jnp.where(opt_extrinsic, 1.0, 0.0) * jnp.ones(6, dtype))
+
+    prior_used = prior._replace(valid=prior.valid & use_marg)
+
+    def eval_all(x):
+        groups = _evaluate(x, pres, g_vec, planes, prior_used, ex_prior, flags, s)
+        js = jnp.concatenate([g[0] for g in groups.values()], axis=0)
+        rs = jnp.concatenate([g[1] for g in groups.values()], axis=0)
+        ws = jnp.concatenate([g[2] for g in groups.values()], axis=0)
+        return js, rs, ws, groups
+
+    def cost_of(x):
+        _, rs, ws, _ = eval_all(x)
+        return 0.5 * jnp.sum(ws * rs * rs)
+
+    def lm_step(carry, _):
+        x, lam, cost = carry
+        js, rs, ws, _ = eval_all(x)
+        jw = js * ws[:, None]
+        h = jw.T @ js
+        g = jw.T @ rs
+        # mask fixed blocks: solve with identity rows there
+        m = free
+        h_m = (h * m[None, :]) * m[:, None] + jnp.diag(1.0 - m)
+        g_m = g * m
+        damped = h_m + lam * jnp.diag(jnp.maximum(jnp.diag(h_m), 1e-6))
+        dx = -jnp.linalg.solve(damped, g_m)
+        x_new = _retract(x, dx * m, s)
+        new_cost = cost_of(x_new)
+        accept = new_cost < cost
+        x = jax.tree.map(lambda a, b: jnp.where(accept, a, b), x_new, x)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-8), lam * 4.0)
+        cost = jnp.where(accept, new_cost, cost)
+        return (x, lam, cost), None
+
+    cost0 = cost_of(x0)
+    (x_fin, _, cost_fin), _ = jax.lax.scan(
+        lm_step, (x0, jnp.asarray(1e-4, dtype), cost0), None, length=max_iterations)
+
+    # diagnostics at the solution
+    _, _, _, groups = eval_all(x_fin)
+    costs = group_costs(groups)
+    diag = SolveDiagnostics(
+        cost_marg=costs.get("marg", jnp.zeros((), dtype)),
+        cost_imu=costs["imu"],
+        cost_plane=costs["plane"],
+        n_plane=jnp.sum(planes.mask),
+        iterations=jnp.asarray(max_iterations),
+    )
+    return x_fin, diag
+
+
+def marginalize_pivot(
+    x: OptStates,
+    pre_01: Preintegration,
+    g_vec: jnp.ndarray,
+    planes: PlaneFactors,
+    prior: MG.PriorState,
+    *,
+    s: int,
+    cauchy_scale: float = 1.0,
+) -> MG.PriorState:
+    """Build the new prior by Schur-eliminating pose_0 + sb_0.
+
+    Mirrors Estimator.cc:2152-2244: residual set = {old prior (drop cols of
+    pose_0/sb_0), ImuFactor(0,1), all plane factors}, assembled at the
+    post-solve linearization point, marginalized with the
+    eigenvalue-thresholded pseudo-inverse, then refactorized.
+
+    Full vector layout here: [pose_0 (6) | sb_0 (9) | keep (15S+6)] where
+    keep = [pose_1..S | sb_1..S | ex].
+    """
+    dtype = x.p.dtype
+    n = 15 * s + 6
+    m = 15
+    full = m + n
+
+    # column offsets in the full [drop | keep] layout
+    def pose_col(i):  # i in 0..S
+        return 0 if i == 0 else m + 6 * (i - 1)
+
+    def sb_col(i):
+        return 6 if i == 0 else m + 6 * s + 9 * (i - 1)
+
+    ex_col = m + 15 * s
+
+    a = jnp.zeros((full, full), dtype)
+    b = jnp.zeros((full,), dtype)
+
+    def accumulate(a, b, cols, res, weight):
+        """A += sum_r w J^T J, b += sum_r w J^T r for one factor (or batch).
+
+        cols: [(offset, J_block (..., rows, width))]; res: (..., rows);
+        weight: scalar or (...,) row-batch weight (applied once, i.e. the
+        corrected-jacobian weight must already include any loss scaling).
+        """
+        for (o1, j1) in cols:
+            w1 = j1.shape[-1]
+            for (o2, j2) in cols:
+                w2 = j2.shape[-1]
+                contrib = jnp.einsum("...ri,...rj->ij", weight[..., None, None] * j1, j2) \
+                    if jnp.ndim(weight) > 0 else weight * jnp.einsum("...ri,...rj->ij", j1, j2)
+                a = a.at[o1:o1 + w1, o2:o2 + w2].add(contrib)
+            br = jnp.einsum("...ri,...r->i", weight[..., None, None] * j1, res) \
+                if jnp.ndim(weight) > 0 else weight * jnp.einsum("...ri,...r->i", j1, res)
+            b = b.at[o1:o1 + w1].add(br)
+        return a, b
+
+    # ---- old prior with drop set {pose_0, sb_0} ----
+    # At marginalization time the prior's kept blocks are the CURRENT slots
+    # 0..S-1 — pose_0/sb_0 fall into the drop set.
+    r_marg = MG.prior_residual(prior, x.q[:s], x.p[:s], x.sb[:s], x.ex_q, x.ex_p)
+    jm = prior.lin_jac  # (n, n) cols [pose_0..S-1 | sb_0..S-1 | ex]
+    cols = [(pose_col(i), jm[:, 6 * i:6 * i + 6]) for i in range(s)]
+    cols += [(sb_col(i), jm[:, 6 * s + 9 * i:6 * s + 9 * i + 9]) for i in range(s)]
+    cols.append((ex_col, jm[:, 15 * s:]))
+    a, b = accumulate(a, b, cols, r_marg, prior.valid.astype(dtype))
+
+    # ---- IMU factor (0, 1) ----
+    res01, (jp0, jsb0, jp1, jsb1) = FA.imu_factor(
+        pre_01, g_vec,
+        x.p[0], x.q[0], x.sb[0, 0:3], x.sb[0, 3:6], x.sb[0, 6:9],
+        x.p[1], x.q[1], x.sb[1, 0:3], x.sb[1, 3:6], x.sb[1, 6:9])
+    w01 = jnp.where(pre_01.sum_dt < 10.0, 1.0, 0.0).astype(dtype)
+    icols = [(pose_col(0), jp0), (sb_col(0), jsb0), (pose_col(1), jp1), (sb_col(1), jsb1)]
+    a, b = accumulate(a, b, icols, res01, w01)
+
+    # ---- plane factors of all frames (drop col = pose_0) ----
+    for i in range(s):
+        def one_feat(pt, co):
+            return FA.pivot_point_plane_factor(
+                pt, co, x.p[0], x.q[0], x.p[i + 1], x.q[i + 1], x.ex_p, x.ex_q)
+
+        res_i, (j_piv, j_i, j_ex) = jax.vmap(one_feat)(planes.point[i], planes.coeff[i])
+        r_scale, j_scale = FA.cauchy_scaling(res_i * res_i, cauchy_scale)
+        wm = (planes.mask[i].astype(dtype) * j_scale)[:, None]
+        res_w = planes.mask[i].astype(dtype) * r_scale * res_i
+        # rows are independent scalar residuals: treat as (F, 1, width) batch
+        pcols = [
+            (pose_col(0), (j_piv * wm)[:, None, :]),
+            (pose_col(i + 1), (j_i * wm)[:, None, :]),
+            (ex_col, (j_ex * wm)[:, None, :]),
+        ]
+        a, b = accumulate(a, b, pcols, res_w[:, None], jnp.ones((planes.mask.shape[1],), dtype))
+
+    a_new, b_new = MG.schur_marginalize(a, b, m)
+    lin_jac, lin_res = MG.factorize_prior(a_new, b_new)
+
+    return MG.PriorState(
+        lin_jac=lin_jac,
+        lin_res=lin_res,
+        x0_q=x.q[1:],
+        x0_p=x.p[1:],
+        x0_sb=x.sb[1:],
+        x0_ex_q=x.ex_q,
+        x0_ex_p=x.ex_p,
+        valid=jnp.asarray(True),
+    )
