@@ -1,0 +1,439 @@
+"""Tightly-coupled sliding-window LIO estimator.
+
+Parity target: src/imu_processor/Estimator.cc (the heart of the reference,
+SURVEY §2 #7). One call to ``lio_step`` performs, inside a single jitted XLA
+program, what the reference spreads over threads + Ceres:
+
+1.  IMU-rate world-state propagation (ProcessImu, Estimator.cc:338-427) as a
+    ``lax.scan`` over the frame's IMU samples.
+2.  Preintegration of the frame interval (IntegrationBase) — same scan.
+3.  IMU-predicted de-skew of the new sweep's features to sweep end
+    (Estimator.cc:628-698) + voxel re-downsampling into the frame stack.
+4.  Window push (CircularBuffers -> rolled fixed arrays).
+5.  BuildLocalMap (Estimator.cc:1361-1646): all window stacks except the
+    newest transformed into the pivot laser frame, voxel-filtered; batched
+    5-NN plane fits produce PointPlaneFeatures per post-pivot frame
+    (CalculateFeatures, :970-1097); the newest frame is aligned by a mini GN
+    against the local map (CalculateLaserOdom, :1242-1359).
+6.  Convergence gating (:1923-1984) and the batched LM solve
+    (ops/solver.solve_window) over [pivot..window] poses + speed-biases +
+    extrinsic with marginalization prior, IMU and plane factors.
+7.  Yaw-gauge fixing (DoubleToVector, :2479-2568).
+8.  Schur marginalization of the pivot (:2040-2275).
+9.  Slide (implicit: the next push drops the oldest frame).
+
+Documented deviations from the reference:
+* ``keep_features`` accumulation across CalculateLaserOdom iterations is
+  not reproduced — only final-iteration associations feed the solver.
+* Degeneracy projection removes true eigen-directions (see ops/gn.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LioConfig
+from ..ops import deskew as DS
+from ..ops import factors as FA
+from ..ops import gn as GN
+from ..ops import knn as KNN
+from ..ops import marginalization as MG
+from ..ops import preintegration as PI
+from ..ops import solver as SV
+from ..ops import voxel as VX
+from ..ops.cloud import Cloud, compact_cloud
+from ..ops.fits import plane_fit
+from ..utils import quaternion as quat
+from ..utils.se3 import Pose
+
+
+class EstimatorState(NamedTuple):
+    """Sliding-window state; leading dim W1 = window_size + 1."""
+
+    qs: jnp.ndarray      # (W1, 4) body orientation in world
+    ps: jnp.ndarray      # (W1, 3)
+    vs: jnp.ndarray      # (W1, 3)
+    bas: jnp.ndarray     # (W1, 3)
+    bgs: jnp.ndarray     # (W1, 3)
+    pres: PI.Preintegration  # batched (W1,), pres[i] spans (i-1, i]
+    imu: PI.ImuSamples       # batched (W1, M) raw buffers (for repropagation)
+    surf_xyz: jnp.ndarray    # (W1, C, 3) deskewed stacks, own laser frame
+    surf_mask: jnp.ndarray   # (W1, C)
+    prior: MG.PriorState
+    g_vec: jnp.ndarray   # (3,)
+    q_lb: jnp.ndarray    # (4,) laser->body extrinsic
+    t_lb: jnp.ndarray    # (3,)
+    convergence_flag: jnp.ndarray  # bool
+    extrinsic_enabled: jnp.ndarray  # bool (extrinsic_stage != 0 && opt_extrinsic)
+
+
+def init_state(cfg: LioConfig, dtype=jnp.float32) -> EstimatorState:
+    e = cfg.estimator
+    w1 = e.window_size + 1
+    m = e.imu.max_imu_per_frame
+    c = e.surf_stack_cap
+    q_lb, t_lb = cfg.extrinsic_lb()
+    eye_q = jnp.tile(quat.identity(dtype), (w1, 1))
+    return EstimatorState(
+        qs=eye_q,
+        ps=jnp.zeros((w1, 3), dtype),
+        vs=jnp.zeros((w1, 3), dtype),
+        bas=jnp.zeros((w1, 3), dtype),
+        bgs=jnp.zeros((w1, 3), dtype),
+        pres=jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (w1,) + a.shape).astype(dtype),
+            PI.Preintegration.identity(dtype)),
+        imu=jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (w1,) + a.shape).astype(dtype),
+            PI.ImuSamples.empty(m, dtype)),
+        surf_xyz=jnp.zeros((w1, c, 3), dtype),
+        surf_mask=jnp.zeros((w1, c), bool),
+        prior=MG.PriorState.empty(e.opt_window_size, dtype),
+        g_vec=jnp.asarray([0.0, 0.0, -e.imu.g_norm], dtype),
+        q_lb=q_lb.astype(dtype),
+        t_lb=t_lb.astype(dtype),
+        convergence_flag=jnp.asarray(False),
+        extrinsic_enabled=jnp.asarray(e.opt_extrinsic and e.estimate_extrinsic != 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IMU-rate propagation (ProcessImu)
+# ---------------------------------------------------------------------------
+
+
+def propagate_world(q0, p0, v0, ba, bg, g_vec, samples: PI.ImuSamples):
+    """Midpoint world-state propagation over one frame's samples
+    (Estimator.cc:387-394)."""
+
+    def step(carry, inp):
+        q, p, v, acc_prev, gyr_prev = carry
+        dt, acc, gyr = inp
+        un_acc_0 = quat.rotate(q, acc_prev - ba) + g_vec
+        un_gyr = 0.5 * (gyr_prev + gyr) - bg
+        q_new = quat.normalize(quat.qmul(q, quat.delta_q(un_gyr * dt)))
+        un_acc_1 = quat.rotate(q_new, acc - ba) + g_vec
+        un_acc = 0.5 * (un_acc_0 + un_acc_1)
+        p_new = p + dt * v + 0.5 * dt * dt * un_acc
+        v_new = v + dt * un_acc
+        is_pad = dt == 0
+        acc_next = jnp.where(is_pad, acc_prev, acc)
+        gyr_next = jnp.where(is_pad, gyr_prev, gyr)
+        return (q_new, p_new, v_new, acc_next, gyr_next), None
+
+    (q, p, v, _, _), _ = jax.lax.scan(
+        step, (q0, p0, v0, samples.acc0, samples.gyr0),
+        (samples.dt, samples.acc, samples.gyr))
+    return q, p, v
+
+
+# ---------------------------------------------------------------------------
+# Local map + feature association (BuildLocalMap / CalculateFeatures)
+# ---------------------------------------------------------------------------
+
+
+def laser_pose(q_b, p_b, q_lb, t_lb) -> Pose:
+    """Body pose -> laser pose: R_li = R_bi R_lb^-1, p_li = p_bi - R_li t_lb
+    (Estimator.cc:1391-1394)."""
+    q_l = quat.qmul(q_b, quat.conjugate(q_lb))
+    p_l = p_b - quat.rotate(q_l, t_lb)
+    return Pose(q_l, p_l)
+
+
+def _calculate_features(
+    map_xyz, map_mask,          # local map (pivot frame)
+    stack_xyz, stack_mask,      # frame stack (own laser frame)
+    local_q, local_t,           # T_pivot_i (frame -> pivot)
+    cfg: LioConfig,
+):
+    """Batched 5-NN plane association (Estimator.cc:1014-1097).
+
+    Returns (coeff (C,4), score (C,), ok (C,)): plane [s*w, s*d] in the
+    pivot frame per stack point, reference scoring s = 1 - 0.9|pd2|/sqrt(r).
+    """
+    e = cfg.estimator
+    point_sel = quat.rotate(local_q[None, :], stack_xyz) + local_t[None, :]
+
+    sq_d, idx = KNN.knn(point_sel, stack_mask, map_xyz, map_mask, k=5)
+    nn_ok = sq_d[:, 4] < e.min_match_sq_dis
+
+    neighbors = map_xyz[idx]  # (C, 5, 3)
+    w, d, plane_ok = plane_fit(neighbors, nn_ok, e.min_plane_dis)
+
+    pd2 = jnp.sum(w * point_sel, axis=-1) + d
+    rng = jnp.sqrt(jnp.maximum(jnp.linalg.norm(point_sel, axis=-1), 1e-12))
+    s = 1.0 - 0.9 * jnp.abs(pd2) / rng
+
+    # FOV cone check (Estimator.cc:1063-1086)
+    z_axis = quat.rotate(local_q, jnp.asarray([0.0, 0.0, 10.0], point_sel.dtype)) + local_t
+    sq1 = jnp.sum((point_sel - local_t[None, :]) ** 2, axis=-1)
+    sq2 = jnp.sum((point_sel - z_axis[None, :]) ** 2, axis=-1)
+    check1 = 100.0 + sq1 - sq2 - 10.0 * jnp.sqrt(3.0) * jnp.sqrt(sq1)
+    check2 = 100.0 + sq1 - sq2 + 10.0 * jnp.sqrt(3.0) * jnp.sqrt(sq1)
+    in_fov = (check1 < 0) & (check2 > 0)
+
+    ok = stack_mask & nn_ok & plane_ok & (s > 0.1) & in_fov
+    coeff = jnp.concatenate([s[:, None] * w, (s * d)[:, None]], axis=-1)
+    return coeff, s, ok
+
+
+def _calculate_laser_odom(
+    map_xyz, map_mask, stack_xyz, stack_mask, local_q, local_t, cfg: LioConfig,
+):
+    """Mini scan-to-local-map GN for the newest frame
+    (CalculateLaserOdom, Estimator.cc:1242-1359). Returns refined local pose
+    + final features."""
+    e = cfg.estimator
+    dtype = local_t.dtype
+    n_iters = 10  # PointMapping default num_max_iterations_
+
+    def body(carry):
+        it, done, lq, lt, proj, degen = carry
+        coeff, s, ok = _calculate_features(
+            map_xyz, map_mask, stack_xyz, stack_mask, lq, lt, cfg)
+
+        w = coeff[:, :3]
+        rot = quat.to_matrix(lq)
+        # J_r = -w^T (R [p]_x), J_t = w^T (Estimator.cc:1289-1290)
+        j_r = -jnp.einsum("ni,nij->nj", w, rot @ quat.skew(stack_xyz))
+        j_t = w
+        jac = jnp.concatenate([j_r, j_t], axis=1)
+        d2 = jnp.sum(w * (quat.rotate(lq[None, :], stack_xyz) + lt[None, :]), axis=-1) + coeff[:, 3]
+        rhs = -d2
+        wrow = ok.astype(dtype)
+
+        jw = jac * wrow[:, None]
+        ata = jw.T @ jac
+        atb = jw.T @ rhs
+        x = jnp.linalg.solve(ata + 1e-9 * jnp.eye(6, dtype=dtype), atb)
+
+        first = it == 0
+        new_gn = GN.degeneracy_projection(ata, 100.0)
+        proj = jnp.where(first, new_gn.proj, proj)
+        degen = jnp.where(first, new_gn.is_degenerate, degen)
+        x = jnp.where(degen, proj @ x, x)
+        x = jnp.where(jnp.isfinite(x), x, 0.0)
+
+        lt_new = lt + x[3:6]
+        lq_new = quat.normalize(quat.qmul(lq, quat.delta_q(x[0:3])))
+        delta_r = jnp.rad2deg(quat.angular_distance(lq, lq_new))
+        delta_t = jnp.linalg.norm(x[3:6]) * 100.0
+        done = (delta_r < 0.05) & (delta_t < 0.05)
+        return (it + 1, done, lq_new, lt_new, proj, degen)
+
+    def cond(carry):
+        it, done, *_ = carry
+        return (it < n_iters) & (~done)
+
+    carry = (jnp.asarray(0), jnp.asarray(False), local_q, local_t,
+             jnp.eye(6, dtype=dtype), jnp.asarray(False))
+    _, _, lq, lt, _, _ = jax.lax.while_loop(cond, body, carry)
+
+    coeff, s, ok = _calculate_features(map_xyz, map_mask, stack_xyz, stack_mask, lq, lt, cfg)
+    return lq, lt, coeff, s, ok
+
+
+# ---------------------------------------------------------------------------
+# The per-sweep LIO step
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def lio_step(
+    state: EstimatorState,
+    surf_cloud: Cloud,          # new sweep's less-flat features (laser frame, skewed)
+    samples: PI.ImuSamples,     # IMU over (t_{k-1}, t_k]
+    cfg: LioConfig,
+) -> Tuple[EstimatorState, dict]:
+    e = cfg.estimator
+    s_opt = e.opt_window_size
+    w = e.window_size
+    pivot = e.pivot_idx
+    dtype = state.ps.dtype
+    scan_period = cfg.sensor.scan_period
+
+    # ---- 1-2. propagation + preintegration of the new interval ----
+    q_prev, p_prev, v_prev = state.qs[w], state.ps[w], state.vs[w]
+    ba, bg = state.bas[w], state.bgs[w]
+    q_pred, p_pred, v_pred = propagate_world(
+        q_prev, p_prev, v_prev, ba, bg, state.g_vec, samples)
+
+    imu_cfg = e.imu
+    noise18 = PI.noise_matrix(imu_cfg.acc_n, imu_cfg.gyr_n, imu_cfg.acc_w, imu_cfg.gyr_w, dtype)
+    pre_k = PI.integrate(samples, ba, bg, noise18)
+
+    # ---- 3. IMU-predicted deskew + stack downsample ----
+    # body motion over the sweep: T_e^-1 T_s, slerp-scaled to the scan period
+    dt_total = jnp.sum(samples.dt)
+    body_es = Pose(q_pred, p_pred).inverse() @ Pose(q_prev, p_prev)
+    sfrac = jnp.clip(scan_period / jnp.maximum(dt_total, 1e-6), 0.0, 1.0)
+    q_es_b = quat.slerp(quat.identity(dtype), body_es.q, sfrac)
+    t_es_b = sfrac * body_es.t
+    t_lb_pose = Pose(state.q_lb, state.t_lb)
+    es_laser = t_lb_pose @ Pose(q_es_b, t_es_b) @ t_lb_pose.inverse()
+
+    deskewed = DS.transform_to_end(
+        surf_cloud.xyz, surf_cloud.rel_time, es_laser.q, es_laser.t,
+        scan_period, enabled=e.enable_deskew and not e.cutoff_deskew)
+    ds_xyz, ds_mask, _ = VX.voxel_downsample(
+        deskewed, surf_cloud.mask, e.surf_filter_size, e.surf_stack_cap)
+
+    # ---- 4. push window ----
+    def push(arr, new):
+        return jnp.concatenate([arr[1:], new[None]], axis=0)
+
+    st = state._replace(
+        qs=push(state.qs, q_pred),
+        ps=push(state.ps, p_pred),
+        vs=push(state.vs, v_pred),
+        bas=push(state.bas, ba),
+        bgs=push(state.bgs, bg),
+        pres=jax.tree.map(push, state.pres, jax.tree.map(lambda a: a, pre_k)),
+        imu=jax.tree.map(push, state.imu, samples),
+        surf_xyz=push(state.surf_xyz, ds_xyz),
+        surf_mask=push(state.surf_mask, ds_mask),
+    )
+
+    # ---- 5. local map in pivot laser frame ----
+    lposes = jax.vmap(lambda q, p: laser_pose(q, p, st.q_lb, st.t_lb))(st.qs, st.ps)
+    pivot_pose = jax.tree.map(lambda a: a[pivot], lposes)
+    rel = jax.vmap(lambda q, p: (pivot_pose.inverse() @ Pose(q, p)))(lposes.q, lposes.t)
+
+    # all frames except the newest build the map
+    def to_pivot(i_xyz, i_mask, rq, rt):
+        return quat.rotate(rq[None, :], i_xyz) + rt[None, :], i_mask
+
+    map_pts, map_msk = jax.vmap(to_pivot)(st.surf_xyz, st.surf_mask, rel.q, rel.t)
+    map_pts = map_pts[:w].reshape(-1, 3)
+    map_msk = map_msk[:w].reshape(-1)
+    map_xyz, map_mask, _ = VX.voxel_downsample(
+        map_pts, map_msk, e.surf_filter_size, e.local_map_filtered_cap)
+
+    # ---- features for frames pivot+1 .. window-1 ----
+    f_cap = e.surf_stack_cap
+    feat_coeff = []
+    feat_ok = []
+    for i in range(pivot + 1, w):
+        coeff_i, s_i, ok_i = _calculate_features(
+            map_xyz, map_mask, st.surf_xyz[i], st.surf_mask[i],
+            rel.q[i], rel.t[i], cfg)
+        feat_coeff.append(coeff_i)
+        feat_ok.append(ok_i)
+
+    # ---- newest frame: mini GN against the local map ----
+    lq_new, lt_new, coeff_n, s_n, ok_n = _calculate_laser_odom(
+        map_xyz, map_mask, st.surf_xyz[w], st.surf_mask[w],
+        rel.q[w], rel.t[w], cfg)
+    feat_coeff.append(coeff_n)
+    feat_ok.append(ok_n)
+
+    planes = SV.PlaneFactors(
+        point=st.surf_xyz[pivot + 1:w + 1],
+        coeff=jnp.stack(feat_coeff),
+        mask=jnp.stack(feat_ok),
+    )
+
+    # ---- 6. gates + window solve ----
+    x0 = SV.OptStates(
+        q=st.qs[pivot:], p=st.ps[pivot:],
+        sb=jnp.concatenate([st.vs[pivot:], st.bas[pivot:], st.bgs[pivot:]], axis=-1),
+        ex_q=st.q_lb, ex_p=st.t_lb)
+    pres_opt = jax.tree.map(lambda a: a[pivot + 1:], st.pres)
+
+    groups0 = SV._evaluate(
+        x0, pres_opt, state.g_vec, planes, st.prior, None,
+        {"cauchy_scale": e.cauchy_loss_scale}, s_opt)
+    costs0 = SV.group_costs(groups0)
+    turn_off = costs0["imu"] > e.convergence_cost_pim_th
+    ratio = costs0["marg"] / jnp.maximum(costs0["plane"] + costs0["imu"], 1e-12)
+    convergence_flag = st.convergence_flag | (
+        (~turn_off) & (ratio <= e.convergence_marg_ratio_th) & (ratio != 0.0))
+
+    # not converged: fix extrinsic + drop the prior (Estimator.cc:1957-1981)
+    prior_in = st.prior._replace(valid=st.prior.valid & convergence_flag)
+    opt_ex = st.extrinsic_enabled & convergence_flag
+
+    ex_prior = None
+    if e.prior_factor:
+        q_lb0, t_lb0 = cfg.extrinsic_lb()
+        ex_prior = (q_lb0.astype(dtype), t_lb0.astype(dtype))
+
+    x_opt, diag = SV.solve_window(
+        x0, pres_opt, state.g_vec, planes, prior_in, ex_prior,
+        s=s_opt, max_iterations=e.max_solver_iterations,
+        cauchy_scale=e.cauchy_loss_scale,
+        opt_extrinsic=opt_ex,
+        use_marg=jnp.asarray(True))
+
+    # ---- 7. yaw-gauge fix (DoubleToVector, Estimator.cc:2479-2568) ----
+    r_pivot_old = quat.to_matrix(st.qs[pivot])
+    origin_r0 = quat.rot_to_ypr(r_pivot_old)
+    origin_p0 = st.ps[pivot]
+    r00 = quat.rot_to_ypr(quat.to_matrix(x_opt.q[0]))
+    y_diff = origin_r0[0] - r00[0]
+    rot_diff = quat.ypr_to_rot(jnp.stack([y_diff, jnp.zeros((), dtype), jnp.zeros((), dtype)]))
+    singular = (jnp.abs(jnp.abs(origin_r0[1]) - 90.0) < 1.0) | (jnp.abs(jnp.abs(r00[1]) - 90.0) < 1.0)
+    rot_diff = jnp.where(
+        singular, r_pivot_old @ quat.to_matrix(x_opt.q[0]).T, rot_diff)
+    q_diff = quat.from_matrix(rot_diff)
+
+    new_q_opt = quat.normalize(quat.qmul(q_diff[None, :], x_opt.q))
+    new_p_opt = quat.rotate(q_diff[None, :], x_opt.p - x_opt.p[0][None, :]) + origin_p0[None, :]
+    new_v_opt = quat.rotate(q_diff[None, :], x_opt.sb[:, 0:3])
+
+    # pre-pivot frames follow the pivot correction (Estimator.cc:2508-2532)
+    opt_pivot_pose = Pose(new_q_opt[0], new_p_opt[0])
+    old_pivot_pose = Pose(st.qs[pivot], st.ps[pivot])
+    corr = opt_pivot_pose @ old_pivot_pose.inverse()
+    pre_q = quat.normalize(quat.qmul(corr.q[None, :], st.qs[:pivot]))
+    pre_p = quat.rotate(corr.q[None, :], st.ps[:pivot]) + corr.t[None, :]
+
+    qs_new = jnp.concatenate([pre_q, new_q_opt], axis=0)
+    ps_new = jnp.concatenate([pre_p, new_p_opt], axis=0)
+    vs_new = jnp.concatenate([st.vs[:pivot], new_v_opt], axis=0)
+    bas_new = jnp.concatenate([st.bas[:pivot], x_opt.sb[:, 3:6]], axis=0)
+    bgs_new = jnp.concatenate([st.bgs[:pivot], x_opt.sb[:, 6:9]], axis=0)
+
+    x_fixed = SV.OptStates(
+        q=new_q_opt, p=new_p_opt,
+        sb=jnp.concatenate([new_v_opt, x_opt.sb[:, 3:6], x_opt.sb[:, 6:9]], axis=-1),
+        ex_q=x_opt.ex_q, ex_p=x_opt.ex_p)
+
+    # ---- 8. marginalize the pivot at the post-solve states ----
+    do_marg = jnp.asarray(e.marginalization_factor) & (~turn_off)
+    new_prior = SV.marginalize_pivot(
+        x_fixed, jax.tree.map(lambda a: a[0], pres_opt), state.g_vec,
+        planes, prior_in, s=s_opt, cauchy_scale=e.cauchy_loss_scale)
+    prior_out = jax.tree.map(
+        lambda new, old: jnp.where(do_marg, new, old),
+        new_prior, st.prior._replace(valid=prior_in.valid))
+
+    st = st._replace(
+        qs=qs_new, ps=ps_new, vs=vs_new, bas=bas_new, bgs=bgs_new,
+        prior=prior_out,
+        q_lb=x_opt.ex_q, t_lb=x_opt.ex_p,
+        convergence_flag=convergence_flag,
+    )
+
+    # outputs: newest laser pose + pivot pose (the reference's /laser_odom +
+    # /local_laser_odom publications, Estimator.cc:725-758)
+    lpose_new = laser_pose(st.qs[w], st.ps[w], st.q_lb, st.t_lb)
+    lpose_pivot = laser_pose(st.qs[pivot], st.ps[pivot], st.q_lb, st.t_lb)
+    outputs = {
+        "laser_pose": lpose_new,
+        "pivot_pose": lpose_pivot,
+        "body_pose": Pose(st.qs[w], st.ps[w]),
+        "velocity": st.vs[w],
+        "ba": st.bas[w],
+        "bg": st.bgs[w],
+        "ex_q": st.q_lb,
+        "ex_p": st.t_lb,
+        "costs": costs0,
+        "convergence": convergence_flag,
+        "n_features": diag.n_plane,
+    }
+    return st, outputs

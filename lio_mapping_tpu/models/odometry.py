@@ -91,11 +91,21 @@ def odometry_step(
     state: OdometryState,
     feats: SweepFeatures,
     cfg: LioConfig,
+    enable: jnp.ndarray = None,
 ) -> Tuple[OdometryState, dict]:
-    """Process one sweep of features; returns (new_state, outputs)."""
+    """Process one sweep of features; returns (new_state, outputs).
+
+    ``enable`` mirrors the reference's /enable_odom service
+    (PointOdometry.cc:322, Estimator.cc:551-559): once the estimator is
+    initialized with IMU deskew, the scan-to-scan GN is switched off and the
+    feature clouds pass through RAW (rel_time intact) for the estimator's
+    own IMU-predicted deskew.
+    """
     oc = cfg.odometry
     scan_period = cfg.sensor.scan_period
     dtype = state.t_es.dtype
+    if enable is None:
+        enable = jnp.asarray(True)
 
     corner_q = feats.corner_sharp
     surf_q = feats.surf_flat
@@ -232,7 +242,7 @@ def odometry_step(
     )
     _, _, q_es_new, t_es_new, _, _, _ = jax.lax.while_loop(cond, body, carry0)
 
-    run_gn = state.initialized & enough
+    run_gn = state.initialized & enough & enable
     q_es_out = jnp.where(run_gn, q_es_new, state.q_es)
     t_es_out = jnp.where(run_gn, t_es_new, state.t_es)
 
@@ -242,11 +252,13 @@ def odometry_step(
         lambda new, old: jnp.where(run_gn, new, old),
         (state.pose @ t_se).normalized(), state.pose)
 
-    # project current less-sharp / less-flat clouds to sweep end
+    # project current less-sharp / less-flat clouds to sweep end; when the
+    # odometry is disabled (post-init LIO mode) clouds pass through raw
     def to_end(c: Cloud) -> Cloud:
         xyz = DS.transform_to_end(c.xyz, c.rel_time, q_es_out, t_es_out, scan_period)
         xyz = jnp.where(run_gn, xyz, c.xyz)
-        return c._replace(xyz=xyz, rel_time=jnp.zeros_like(c.rel_time))
+        rel_time = jnp.where(run_gn, jnp.zeros_like(c.rel_time), c.rel_time)
+        return c._replace(xyz=xyz, rel_time=rel_time)
 
     new_state = OdometryState(
         pose=new_pose,

@@ -1,0 +1,234 @@
+"""Full LIO pipeline orchestration (host side).
+
+The reference runs its stages as ROS nodes + threads (estimator_node.cc);
+here a thin host loop feeds jitted device programs:
+
+    raw sweep --process_sweep--> features --odometry_step--> laser odom
+        --(NOT_INITED: fill window, ImuInitializer)--> INITED
+        --lio_step--> tightly-coupled window odometry
+
+During NOT_INITED the estimator mirrors Estimator::ProcessLaserOdom's
+bootstrap path (Estimator.cc:492-618): every ``init_window_factor``-th
+frame is pushed with its scan-to-scan odometry pose and preintegration;
+once the window is full, extrinsic rotation calibration + ImuInitializer
+run, states are aligned to gravity with yaw zeroed (:905-947), and
+preintegrations are repropagated with the estimated gyro bias.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LioConfig
+from ..ops import preintegration as PI
+from ..ops import voxel as VX
+from ..ops.cloud import Cloud
+from ..utils import quaternion as quat
+from ..utils.se3 import Pose
+from . import estimator as EST
+from . import initializer as INIT
+from . import odometry as ODO
+from .point_processor import process_sweep
+
+
+class LioPipeline:
+    """Sweep-by-sweep LIO: feed (sweep, imu batch) pairs, get poses out."""
+
+    def __init__(self, cfg: LioConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.odom_state = ODO.init_state(cfg, dtype)
+        self.est_state = EST.init_state(cfg, dtype)
+        self.stage = "NOT_INITED"
+        self.frame_count = 0
+
+        # init-window accumulation (host lists)
+        self._init_odom_poses: List[Pose] = []
+        self._init_samples: List[PI.ImuSamples] = []
+        self._init_stacks: List[tuple] = []
+
+        self._odo_step = jax.jit(
+            lambda s, f, en: ODO.odometry_step(s, f, cfg, en))
+        e = cfg.estimator
+        self._noise18 = PI.noise_matrix(
+            e.imu.acc_n, e.imu.gyr_n, e.imu.acc_w, e.imu.gyr_w, dtype)
+
+    # ------------------------------------------------------------------
+    def make_samples(self, dts, accs, gyrs, acc0, gyr0) -> PI.ImuSamples:
+        """Pack host IMU arrays into a padded device buffer."""
+        m = self.cfg.estimator.imu.max_imu_per_frame
+        n = len(dts)
+        assert n <= m, f"too many IMU samples per frame: {n} > {m}"
+        dt = np.zeros(m, np.float64)
+        acc = np.zeros((m, 3), np.float64)
+        gyr = np.zeros((m, 3), np.float64)
+        dt[:n] = dts
+        acc[:n] = accs
+        gyr[:n] = gyrs
+        return PI.ImuSamples(
+            acc0=jnp.asarray(acc0, self.dtype), gyr0=jnp.asarray(gyr0, self.dtype),
+            dt=jnp.asarray(dt, self.dtype),
+            acc=jnp.asarray(acc, self.dtype), gyr=jnp.asarray(gyr, self.dtype))
+
+    # ------------------------------------------------------------------
+    def process(self, xyz: np.ndarray, mask: np.ndarray,
+                samples: Optional[PI.ImuSamples]) -> dict:
+        """Process one sweep (+ its IMU interval). Returns pose outputs."""
+        cfg = self.cfg
+        feats = process_sweep(jnp.asarray(xyz, self.dtype), jnp.asarray(mask), cfg)
+        # once INITED with IMU deskew, the scan-to-scan GN is switched off
+        # and clouds pass through raw (the reference's /enable_odom call)
+        deskew_mode = cfg.estimator.enable_deskew or cfg.estimator.cutoff_deskew
+        enable_odo = not (self.stage == "INITED" and deskew_mode)
+        self.odom_state, odo_out = self._odo_step(
+            self.odom_state, feats, jnp.asarray(enable_odo))
+        self.frame_count += 1
+
+        if self.stage == "NOT_INITED":
+            if samples is not None and self.frame_count % cfg.estimator.init_window_factor == 0:
+                self._push_init_frame(odo_out, samples)
+                if len(self._init_odom_poses) == cfg.estimator.window_size + 1:
+                    if self._try_initialize():
+                        self.stage = "INITED"
+                    else:
+                        # slide: drop oldest init frame
+                        self._init_odom_poses.pop(0)
+                        self._init_samples.pop(0)
+                        self._init_stacks.pop(0)
+            return {
+                "stage": self.stage,
+                "laser_pose": odo_out["pose"],
+            }
+
+        # ---- INITED ----
+        self.est_state, out = EST.lio_step(
+            self.est_state, odo_out["surf_cloud"], samples, cfg)
+        out["stage"] = self.stage
+        return out
+
+    # ------------------------------------------------------------------
+    def _push_init_frame(self, odo_out, samples: PI.ImuSamples):
+        cfg = self.cfg
+        self._init_odom_poses.append(odo_out["pose"])
+        self._init_samples.append(samples)
+        surf: Cloud = odo_out["surf_cloud"]
+        ds_xyz, ds_mask, _ = VX.voxel_downsample(
+            surf.xyz, surf.mask, cfg.estimator.surf_filter_size,
+            cfg.estimator.surf_stack_cap)
+        self._init_stacks.append((ds_xyz, ds_mask))
+
+    def _try_initialize(self) -> bool:
+        """EstimateExtrinsicRotation + ImuInitializer + state alignment."""
+        cfg = self.cfg
+        e = cfg.estimator
+        w = e.window_size
+        dtype = self.dtype
+
+        # integrate each interval (except slot 0) for init quantities
+        pres = [PI.Preintegration.identity(jnp.float64)]
+        for i in range(1, w + 1):
+            s64 = jax.tree.map(lambda a: a.astype(jnp.float64), self._init_samples[i])
+            pres.append(PI.integrate(
+                s64, jnp.zeros(3, jnp.float64), jnp.zeros(3, jnp.float64),
+                self._noise18.astype(jnp.float64)))
+
+        laser_q = np.stack([np.asarray(p.q, np.float64) for p in self._init_odom_poses])
+        laser_p = np.stack([np.asarray(p.t, np.float64) for p in self._init_odom_poses])
+        imu_dq = np.stack([np.asarray(pres[i].delta_q) for i in range(1, w + 1)])
+
+        q_lb = np.asarray(self.est_state.q_lb, np.float64)
+        t_lb = np.asarray(self.est_state.t_lb, np.float64)
+
+        # extrinsic rotation calibration (estimate_extrinsic == 2)
+        if e.estimate_extrinsic == 2:
+            q_lb_new, ok = INIT.estimate_extrinsic_rotation(laser_q, imu_dq, q_lb)
+            if not ok:
+                return False
+            q_lb = q_lb_new
+
+        # IMU excitation gate
+        delta_vs = np.stack([np.asarray(pres[i].delta_v) for i in range(1, w + 1)])
+        sum_dts = np.array([float(pres[i].sum_dt) for i in range(1, w + 1)])
+        if not INIT.check_imu_observibility(delta_vs, sum_dts):
+            return False
+
+        # gyro bias, then repropagate
+        jacs = [np.asarray(pres[i].jacobian) for i in range(1, w + 1)]
+        dqs = [np.asarray(pres[i].delta_q) for i in range(1, w + 1)]
+        dbg = INIT.estimate_gyro_bias(laser_q, jacs, dqs)
+        bg = jnp.asarray(dbg, jnp.float64)
+        for i in range(1, w + 1):
+            s64 = jax.tree.map(lambda a: a.astype(jnp.float64), self._init_samples[i])
+            pres[i] = PI.integrate(
+                s64, jnp.zeros(3, jnp.float64), bg, self._noise18.astype(jnp.float64))
+
+        delta_ps = np.stack([np.asarray(pres[i].delta_p) for i in range(1, w + 1)])
+        delta_vs = np.stack([np.asarray(pres[i].delta_v) for i in range(1, w + 1)])
+
+        g_approx, ok = INIT.approximate_gravity(
+            laser_p, laser_q, q_lb, t_lb, sum_dts, delta_ps, delta_vs, e.imu.g_norm)
+        if not ok:
+            return False
+
+        vels, g_refined, r_wi = INIT.refine_gravity_acc_bias(
+            laser_p, laser_q, q_lb, t_lb, sum_dts, delta_ps, delta_vs,
+            g_approx, e.imu.g_norm)
+
+        # ---- state alignment (Estimator.cc:905-947) ----
+        # body poses from laser transforms: T_bi = T_li * T_lb
+        t_lb_pose = Pose(jnp.asarray(q_lb), jnp.asarray(t_lb))
+        ps_b, qs_b = [], []
+        for i in range(w + 1):
+            t_bi = Pose(jnp.asarray(laser_q[i]), jnp.asarray(laser_p[i])) @ t_lb_pose
+            qs_b.append(np.asarray(quat.normalize(t_bi.q)))
+            ps_b.append(np.asarray(t_bi.t))
+        qs_b = np.stack(qs_b)
+        ps_b = np.stack(ps_b)
+
+        # yaw-zeroed alignment rotation R0
+        r0 = r_wi.T
+        rs0 = np.asarray(quat.to_matrix(jnp.asarray(qs_b[0])))
+        yaw = float(np.asarray(quat.rot_to_ypr(jnp.asarray(r0 @ rs0)))[0])
+        r0 = np.asarray(quat.ypr_to_rot(jnp.asarray([-yaw, 0.0, 0.0]))) @ r0
+        g_vec = r0 @ g_refined
+
+        rot_diff = jnp.asarray(r0)
+        q_diff = quat.from_matrix(rot_diff)
+
+        qs_new = np.stack([
+            np.asarray(quat.normalize(quat.qmul(q_diff, jnp.asarray(q)))) for q in qs_b])
+        ps_new = (np.asarray(rot_diff) @ ps_b.T).T
+        vs_new = (np.asarray(rot_diff) @ vels.T).T
+
+        # ---- fill the estimator state ----
+        m = e.imu.max_imu_per_frame
+        samples_all = jax.tree.map(
+            lambda *a: jnp.stack(a),
+            *([jax.tree.map(lambda x: x.astype(dtype), s) for s in self._init_samples]))
+        pres_f = jax.tree.map(
+            lambda *a: jnp.stack(a).astype(dtype),
+            *[jax.tree.map(lambda x: jnp.asarray(x), p) for p in pres])
+
+        stacks_xyz = jnp.stack([s[0] for s in self._init_stacks]).astype(dtype)
+        stacks_mask = jnp.stack([s[1] for s in self._init_stacks])
+
+        self.est_state = self.est_state._replace(
+            qs=jnp.asarray(qs_new, dtype),
+            ps=jnp.asarray(ps_new, dtype),
+            vs=jnp.asarray(vs_new, dtype),
+            bas=jnp.zeros((w + 1, 3), dtype),
+            bgs=jnp.tile(jnp.asarray(dbg, dtype), (w + 1, 1)),
+            pres=pres_f,
+            imu=samples_all,
+            surf_xyz=stacks_xyz,
+            surf_mask=stacks_mask,
+            g_vec=jnp.asarray(g_vec, dtype),
+            q_lb=jnp.asarray(q_lb, dtype),
+            t_lb=jnp.asarray(t_lb, dtype),
+        )
+        return True

@@ -1,0 +1,96 @@
+"""Closed-loop tightly-coupled LIO test on the synthetic world.
+
+The miniature version of BASELINE config 2: moving sensor + IMU in the box
+world, full pipeline (front end -> odometry -> initializer -> sliding-window
+estimator), trajectory checked against ground truth.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from lio_mapping_tpu.config import (EstimatorConfig, ImuConfig, LioConfig,
+                                    OdometryConfig)
+from lio_mapping_tpu.io import synthetic
+from lio_mapping_tpu.models.pipeline import LioPipeline
+
+
+def small_cfg() -> LioConfig:
+    base = LioConfig.indoor()
+    est = dataclasses.replace(
+        base.estimator,
+        window_size=5,
+        opt_window_size=3,
+        init_window_factor=1,
+        estimate_extrinsic=0,
+        opt_extrinsic=False,
+        extrinsic_rotation=(1, 0, 0, 0, 1, 0, 0, 0, 1),
+        extrinsic_translation=(0.0, 0.0, 0.0),
+        surf_stack_cap=2048,
+        local_map_filtered_cap=8192,
+        features_per_frame_cap=2048,
+        max_solver_iterations=8,
+    )
+    return dataclasses.replace(base, estimator=est)
+
+
+def rot_of(q):
+    return Rotation.from_quat(np.roll(np.array(q), -1))
+
+
+@pytest.mark.slow
+class TestLioClosedLoop:
+    def test_trajectory(self):
+        cfg = small_cfg()
+        traj = synthetic.Trajectory(g_norm=cfg.estimator.imu.g_norm)
+        pipe = LioPipeline(cfg, dtype=jnp.float64)
+        dt = cfg.sensor.scan_period
+        n_sweeps = 16
+        imu_rate = 200.0
+
+        results = []
+        for i in range(n_sweeps):
+            t0 = i * dt
+            xyz, mask = synthetic.simulate_sweep(traj, t0, n_azimuth=540)
+            # IMU over (t_k-1 end, t_k end] where frame stamp = sweep end
+            te_prev, te = t0 - dt + dt, t0 + dt  # (t0, t0+dt]
+            ts, acc, gyr = synthetic.simulate_imu_interval(traj, t0, te, imu_rate)
+            a0, w0 = traj.imu(t0)
+            dts = np.diff(np.concatenate([[t0], ts]))
+            samples = pipe.make_samples(dts, acc, gyr, a0, w0)
+            out = pipe.process(xyz, mask, samples)
+            results.append((t0 + dt, out))
+
+        assert pipe.stage == "INITED", "initialization failed"
+
+        # evaluate the INITED segment: laser pose vs GT, aligned at the
+        # first INITED frame
+        est, gt = [], []
+        for t_end, out in results:
+            if out["stage"] != "INITED" or "body_pose" not in out:
+                continue
+            est.append((np.array(out["laser_pose"].q), np.array(out["laser_pose"].t)))
+            gt.append(synthetic.gt_sensor_pose(traj, t_end))
+
+        assert len(est) >= 6
+        q0e, p0e = est[0]
+        q0g, p0g = gt[0]
+        r0e, r0g = rot_of(q0e), rot_of(q0g)
+
+        errs = []
+        for (qe, pe), (qg, pg) in zip(est, gt):
+            te = r0e.inv().apply(pe - p0e)
+            tg = r0g.inv().apply(pg - p0g)
+            errs.append(np.linalg.norm(te - tg))
+        rmse = float(np.sqrt(np.mean(np.square(errs))))
+        assert rmse < 0.1, f"LIO ATE RMSE {rmse:.3f} m, errs={errs}"
+
+        # velocity estimate sanity at the last frame
+        _, out = results[-1]
+        v_est = np.array(out["velocity"])
+        _, _, v_gt, _, _ = traj.pose(results[-1][0])
+        assert np.linalg.norm(v_est - v_gt) < 0.3, (v_est, v_gt)
