@@ -1,0 +1,116 @@
+"""End-to-end LIO benchmark: sustained frames/s of the full per-sweep
+device program (front end + tightly-coupled window estimator) on synthetic
+VLP-16 data.
+
+Prints ONE JSON line. ``vs_baseline`` is measured against the reference's
+real-time envelope: 10 Hz LiDAR input with a <=0.1 s/sweep solver budget
+(BASELINE.md — the reference publishes no absolute perf numbers, so the
+10 Hz real-time gate is the baseline: value/10 > 1 means faster than the
+reference needs to be to keep up).
+
+Usage: python bench.py [--sweeps N] [--warmup K] [--cpu]
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_cfg():
+    from lio_mapping_tpu.config import LioConfig
+
+    base = LioConfig.indoor()
+    est = dataclasses.replace(
+        base.estimator,
+        window_size=12,
+        opt_window_size=7,
+        init_window_factor=1,
+        estimate_extrinsic=0,
+        opt_extrinsic=False,
+        extrinsic_translation=(0.0, 0.0, 0.0),
+        surf_stack_cap=4096,
+        local_map_filtered_cap=16384,
+        features_per_frame_cap=4096,
+        max_solver_iterations=8,
+    )
+    return dataclasses.replace(base, estimator=est)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweeps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+
+    from lio_mapping_tpu.io import synthetic
+    from lio_mapping_tpu.models.pipeline import LioPipeline
+
+    cfg = build_cfg()
+    traj = synthetic.Trajectory(g_norm=cfg.estimator.imu.g_norm)
+    pipe = LioPipeline(cfg, dtype=jnp.float32)
+    dt = cfg.sensor.scan_period
+    imu_rate = 200.0
+
+    # ---- pre-generate the synthetic sequence on host ----
+    n_total = args.sweeps + cfg.estimator.window_size + 4
+    frames = []
+    for i in range(n_total):
+        t0 = i * dt
+        xyz, mask = synthetic.simulate_sweep(traj, t0, n_azimuth=900)
+        ts, acc, gyr = synthetic.simulate_imu_interval(traj, t0, t0 + dt, imu_rate)
+        a0, w0 = traj.imu(t0)
+        dts = np.diff(np.concatenate([[t0], ts]))
+        frames.append((xyz, mask, (dts, acc, gyr, a0, w0)))
+
+    # ---- run: init phase + warmup, then timed steady state ----
+    times = []
+    inited_count = 0
+    for i, (xyz, mask, imu) in enumerate(frames):
+        samples = pipe.make_samples(*imu)
+        start = time.perf_counter()
+        out = pipe.process(xyz, mask, samples)
+        jax.block_until_ready(out.get("laser_pose"))
+        elapsed = time.perf_counter() - start
+        if out["stage"] == "INITED":
+            inited_count += 1
+            if inited_count > args.warmup:
+                times.append(elapsed)
+        if len(times) >= args.sweeps:
+            break
+
+    if not times:
+        print(json.dumps({"metric": "lio_frames_per_sec", "value": 0.0,
+                          "unit": "frames/s", "vs_baseline": 0.0,
+                          "error": "initialization failed"}))
+        return 1
+
+    per_sweep = float(np.median(times))
+    fps = 1.0 / per_sweep
+    result = {
+        "metric": "lio_frames_per_sec",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 3),
+        "per_sweep_ms": round(per_sweep * 1e3, 2),
+        "n_timed": len(times),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

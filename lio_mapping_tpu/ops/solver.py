@@ -257,8 +257,13 @@ def marginalize_pivot(
     *,
     s: int,
     cauchy_scale: float = 1.0,
+    psum_axis: str | None = None,
 ) -> MG.PriorState:
     """Build the new prior by Schur-eliminating pose_0 + sb_0.
+
+    ``psum_axis``: when called under shard_map with the plane-feature axis
+    sharded, the plane-factor contribution is psum-reduced over this mesh
+    axis (prior/IMU parts are replicated).
 
     Mirrors Estimator.cc:2152-2244: residual set = {old prior (drop cols of
     pose_0/sb_0), ImuFactor(0,1), all plane factors}, assembled at the
@@ -324,6 +329,8 @@ def marginalize_pivot(
     a, b = accumulate(a, b, icols, res01, w01)
 
     # ---- plane factors of all frames (drop col = pose_0) ----
+    a_pl = jnp.zeros((full, full), dtype)
+    b_pl = jnp.zeros((full,), dtype)
     for i in range(s):
         def one_feat(pt, co):
             return FA.pivot_point_plane_factor(
@@ -339,7 +346,14 @@ def marginalize_pivot(
             (pose_col(i + 1), (j_i * wm)[:, None, :]),
             (ex_col, (j_ex * wm)[:, None, :]),
         ]
-        a, b = accumulate(a, b, pcols, res_w[:, None], jnp.ones((planes.mask.shape[1],), dtype))
+        a_pl, b_pl = accumulate(
+            a_pl, b_pl, pcols, res_w[:, None], jnp.ones((planes.mask.shape[1],), dtype))
+
+    if psum_axis is not None:
+        a_pl = jax.lax.psum(a_pl, psum_axis)
+        b_pl = jax.lax.psum(b_pl, psum_axis)
+    a = a + a_pl
+    b = b + b_pl
 
     a_new, b_new = MG.schur_marginalize(a, b, m)
     lin_jac, lin_res = MG.factorize_prior(a_new, b_new)
