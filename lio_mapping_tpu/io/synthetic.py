@@ -56,12 +56,17 @@ class Box:
 
 
 def default_world() -> Tuple[BoxRoom, List[Box]]:
-    room = BoxRoom(np.array([[-6.0, -5.0, -1.5], [7.0, 4.0, 2.5]]))
+    """A hall-sized indoor scene: large enough that mid-wall planar area
+    dominates over corner regions (where 5-NN plane fits mix two walls)."""
+    room = BoxRoom(np.array([[-11.0, -8.0, -1.5], [12.0, 9.0, 4.5]]))
     pillars = [
-        Box(np.array([[2.0, -1.5, -1.5], [2.6, -0.9, 2.5]])),
-        Box(np.array([[-3.0, 1.0, -1.5], [-2.2, 1.8, 2.5]])),
-        Box(np.array([[4.5, 2.0, -1.5], [5.3, 2.8, 0.5]])),
-        Box(np.array([[-4.5, -3.5, -1.5], [-3.9, -2.9, 1.0]])),
+        Box(np.array([[2.0, -1.5, -1.5], [2.6, -0.9, 4.5]])),
+        Box(np.array([[-3.0, 1.0, -1.5], [-2.2, 1.8, 4.5]])),
+        Box(np.array([[6.5, 4.0, -1.5], [7.3, 4.8, 1.5]])),
+        Box(np.array([[-6.5, -5.5, -1.5], [-5.9, -4.9, 2.0]])),
+        Box(np.array([[8.0, -5.0, -1.5], [9.2, -3.8, 0.5]])),
+        Box(np.array([[-8.0, 5.0, -1.5], [-6.8, 6.2, 1.0]])),
+        Box(np.array([[0.5, 6.0, -1.5], [1.7, 7.2, 2.5]])),
     ]
     return room, pillars
 

@@ -29,8 +29,8 @@ from ..ops import voxel as VX
 from ..ops.cloud import Cloud
 from ..utils import quaternion as quat
 from ..utils.se3 import Pose
-from .mapping import (MappingState, _neighborhood_cubes, gather_map_cloud,
-                      init_state, insert_into_map, optimize_to_map, recenter)
+from .mapping import (MappingState, init_state, insert_into_map,
+                      optimize_to_map)
 
 __all__ = ["init_state", "map_builder_step"]
 
@@ -63,11 +63,8 @@ def map_builder_step(
     m = cfg.mapping
 
     pose_tobe = transform_4d_associate(state, odom_pose)
-    st = recenter(state, pose_tobe.t, cfg)
-
-    cube_idx, cube_ok = _neighborhood_cubes(st.corner_map.origin, pose_tobe.t, cfg)
-    corner_db, corner_db_mask = gather_map_cloud(st.corner_map, cube_idx, cube_ok)
-    surf_db, surf_db_mask = gather_map_cloud(st.surf_map, cube_idx, cube_ok)
+    corner_db, corner_db_mask = state.corner_map.xyz, state.corner_map.mask
+    surf_db, surf_db_mask = state.surf_map.xyz, state.surf_map.mask
 
     c_xyz, c_mask, _ = VX.voxel_downsample(
         corner_cloud.xyz, corner_cloud.mask, m.corner_filter_size,
@@ -85,9 +82,9 @@ def map_builder_step(
         lambda new, old: jnp.where(state.initialized, new, old), pose_opt, pose_tobe)
 
     corner_map = insert_into_map(
-        st.corner_map, c_xyz, c_mask, pose_opt, m.corner_filter_size, cfg)
+        state.corner_map, c_xyz, c_mask, pose_opt, m.corner_filter_size, cfg)
     surf_map = insert_into_map(
-        st.surf_map, s_xyz, s_mask, pose_opt, m.surf_filter_size, cfg)
+        state.surf_map, s_xyz, s_mask, pose_opt, m.surf_filter_size, cfg)
 
     new_state = MappingState(
         corner_map=corner_map, surf_map=surf_map,

@@ -3,11 +3,11 @@
 Parity target: src/point_processor/PointMapping.cc (SURVEY §2 #3).
 
 Reference behavior reproduced with fixed shapes:
-* world map = 21 x 21 x 11 cubes of 50 m (PointMapping.cc:77-83); instead
-  of pointer swaps the map keeps an integer cube-origin that shifts when
-  the pose nears the grid edge, rolling the cube arrays (:819-921).
-* 5x5x5 neighborhood cube selection with the +-60 deg FOV cone test
-  (:933-988) feeding the match database.
+* the reference's 21x21x11 cube grid of 50 m cells with pointer-swap
+  recentering (PointMapping.cc:77-118, :819-921) becomes a flat
+  fixed-capacity voxel store with a moving origin (see VoxelMapStore) —
+  the same sliding active region without pointer chasing; the +-60 deg
+  FOV cone test (:933-988) gates associations.
 * corner -> 5-NN covariance line fit (accept if l_max > 3 l_mid, :381-510);
   surf -> 5-NN plane fit with 0.2 m planarity validation (:514-606).
 * 6-DoF GN, eigenvalue-100 degeneracy projection, right-multiplied DeltaQ
@@ -33,14 +33,19 @@ from ..ops.fits import line_fit, plane_fit, point_to_line_residual
 from ..utils import quaternion as quat
 from ..utils.se3 import Pose
 
-NEIGH = 5  # 5x5x5 neighborhood (PointMapping.cc:933)
 
+class VoxelMapStore(NamedTuple):
+    """Flat fixed-capacity voxel-centroid map with a moving origin.
 
-class CubeMap(NamedTuple):
-    """Fixed-capacity cube-grid map for one feature class.
+    TPU-first replacement for the reference's 21x21x11 cube-pointer grid
+    (PointMapping.cc:77-118): one padded point array IS the match database
+    (exact tiled KNN needs no spatial bucketing on an MXU), voxel dedup is
+    the sort-based reduction of ops/voxel, and "recentering" is just moving
+    the origin — points outside ``radius`` of it are dropped at the next
+    insert, mirroring the reference's sliding cube window. The unbounded
+    full-map archive lives host-side in native.GlobalVoxelMap.
 
-    xyz:   (L*W*H, C, 3); mask: (L*W*H, C)
-    origin: (3,) int32 — world cube coords of grid cell (0,0,0)
+    xyz: (CAP, 3) world coords; mask: (CAP,); origin: (3,) recenter point.
     """
 
     xyz: jnp.ndarray
@@ -48,22 +53,17 @@ class CubeMap(NamedTuple):
     origin: jnp.ndarray
 
     @staticmethod
-    def empty(cfg: LioConfig, cap: int, dtype=jnp.float32) -> "CubeMap":
-        m = cfg.mapping
-        n = m.cube_length * m.cube_width * m.cube_height
-        return CubeMap(
-            xyz=jnp.zeros((n, cap, 3), dtype),
-            mask=jnp.zeros((n, cap), bool),
-            # reference centers the grid: cen = 10, 10, 5 (PointMapping.cc:107)
-            origin=jnp.asarray(
-                [-(m.cube_length // 2), -(m.cube_width // 2), -(m.cube_height // 2)],
-                jnp.int32),
+    def empty(cap: int, dtype=jnp.float32) -> "VoxelMapStore":
+        return VoxelMapStore(
+            xyz=jnp.zeros((cap, 3), dtype),
+            mask=jnp.zeros((cap,), bool),
+            origin=jnp.zeros((3,), dtype),
         )
 
 
 class MappingState(NamedTuple):
-    corner_map: CubeMap
-    surf_map: CubeMap
+    corner_map: VoxelMapStore
+    surf_map: VoxelMapStore
     pose: Pose                  # transform_aft_mapped_ (tobe after update)
     pose_bef: Pose              # transform_bef_mapped_ (last odometry input)
     initialized: jnp.ndarray
@@ -72,101 +72,39 @@ class MappingState(NamedTuple):
 def init_state(cfg: LioConfig, dtype=jnp.float32) -> MappingState:
     m = cfg.mapping
     return MappingState(
-        corner_map=CubeMap.empty(cfg, m.cube_point_cap, dtype),
-        surf_map=CubeMap.empty(cfg, m.cube_point_cap, dtype),
+        corner_map=VoxelMapStore.empty(m.map_cloud_cap, dtype),
+        surf_map=VoxelMapStore.empty(m.map_cloud_cap, dtype),
         pose=Pose.identity(dtype=dtype),
         pose_bef=Pose.identity(dtype=dtype),
         initialized=jnp.asarray(False),
     )
 
 
-def _grid_dims(cfg: LioConfig):
-    m = cfg.mapping
-    return m.cube_length, m.cube_width, m.cube_height
+def insert_into_map(vm: VoxelMapStore, points, mask, pose: Pose, leaf: float,
+                    cfg: LioConfig) -> VoxelMapStore:
+    """UpdateMapDatabase equivalent: union + voxel re-downsample + recenter.
 
+    The reference inserts into cubes and re-downsamples each touched cube
+    (PointMapping.cc:1112-1208); here the union of (map, new world points)
+    is voxel-reduced in one sort. The origin follows the pose; points
+    beyond the active radius are dropped (the cube window slide).
+    """
+    radius = 0.45 * leaf * 1024  # packing range of ops/voxel (10 bits/axis)
+    world = pose.apply(points)
+    # snap the origin to a coarse leaf multiple so the voxel grid stays
+    # aligned as the origin tracks the pose (no re-quantization smear)
+    snap = leaf * 64.0
+    new_origin = jnp.round(pose.t / snap) * snap
 
-def _cube_index_of(points: jnp.ndarray, origin: jnp.ndarray, cfg: LioConfig):
-    """World points -> flat grid cube index (or -1 if outside)."""
-    m = cfg.mapping
-    half = m.cube_size_m / 2.0
-    # reference: int((x + 25) / 50) with floor-like shift for negatives
-    # (PointMapping.cc:1118-1132) == round-to-nearest cube center
-    ijk = jnp.floor((points + half) / m.cube_size_m).astype(jnp.int32)
-    rel = ijk - origin
-    l, w, h = _grid_dims(cfg)
-    inside = (
-        (rel[..., 0] >= 0) & (rel[..., 0] < l)
-        & (rel[..., 1] >= 0) & (rel[..., 1] < w)
-        & (rel[..., 2] >= 0) & (rel[..., 2] < h))
-    flat = (rel[..., 0] * w + rel[..., 1]) * h + rel[..., 2]
-    return jnp.where(inside, flat, -1)
+    all_xyz = jnp.concatenate([vm.xyz - new_origin[None, :],
+                               world - new_origin[None, :]], axis=0)
+    in_range = jnp.max(jnp.abs(all_xyz), axis=-1) < radius
+    all_mask = jnp.concatenate([vm.mask, mask], axis=0) & in_range
 
-
-def recenter(state: MappingState, pose_t: jnp.ndarray, cfg: LioConfig) -> MappingState:
-    """Shift the cube origin so the pose stays >= 3 cubes from each edge
-    (PointMapping.cc:819-921). Rolls the cube arrays, clearing wrapped cells."""
-    m = cfg.mapping
-    l, w, h = _grid_dims(cfg)
-    dims = jnp.asarray([l, w, h], jnp.int32)
-    half = m.cube_size_m / 2.0
-    ijk = jnp.floor((pose_t + half) / m.cube_size_m).astype(jnp.int32)
-
-    rel = ijk - state.corner_map.origin
-    # number of cells to shift so that 3 <= rel < dims-3
-    shift = jnp.maximum(3 - rel, 0) - jnp.maximum(rel - (dims - 4), 0)
-    new_origin = state.corner_map.origin - shift
-
-    def roll_map(cm: CubeMap) -> CubeMap:
-        x = cm.xyz.reshape(l, w, h, -1, 3)
-        msk = cm.mask.reshape(l, w, h, -1)
-        # origin decreases by s => data at rel r moves to rel r + s
-        x = jnp.roll(x, (shift[0], shift[1], shift[2]), axis=(0, 1, 2))
-        msk = jnp.roll(msk, (shift[0], shift[1], shift[2]), axis=(0, 1, 2))
-        # invalidate wrapped layers
-        for ax, s in [(0, shift[0]), (1, shift[1]), (2, shift[2])]:
-            n_ax = msk.shape[ax]
-            idx = jnp.arange(n_ax)
-            keep = jnp.where(
-                s >= 0,
-                idx >= s,                 # first s layers are stale
-                idx < n_ax + s,           # last |s| layers are stale
-            )
-            shape = [1, 1, 1, 1]
-            shape[ax] = n_ax
-            msk = msk & keep.reshape(shape)
-        return cm._replace(
-            xyz=x.reshape(cm.xyz.shape), mask=msk.reshape(cm.mask.shape),
-            origin=new_origin)
-
-    return state._replace(
-        corner_map=roll_map(state.corner_map),
-        surf_map=roll_map(state.surf_map))
-
-
-def _neighborhood_cubes(origin: jnp.ndarray, pose_t: jnp.ndarray, cfg: LioConfig):
-    """Flat indices of the 5x5x5 cube neighborhood around the pose."""
-    m = cfg.mapping
-    l, w, h = _grid_dims(cfg)
-    half = m.cube_size_m / 2.0
-    ijk = jnp.floor((pose_t + half) / m.cube_size_m).astype(jnp.int32)
-    center = ijk - origin
-    offs = jnp.stack(jnp.meshgrid(
-        jnp.arange(-2, 3), jnp.arange(-2, 3), jnp.arange(-2, 3),
-        indexing="ij"), axis=-1).reshape(-1, 3)
-    rel = center[None, :] + offs
-    inside = (
-        (rel[:, 0] >= 0) & (rel[:, 0] < l)
-        & (rel[:, 1] >= 0) & (rel[:, 1] < w)
-        & (rel[:, 2] >= 0) & (rel[:, 2] < h))
-    flat = (rel[:, 0] * w + rel[:, 1]) * h + rel[:, 2]
-    return jnp.where(inside, flat, 0), inside  # (125,), (125,)
-
-
-def gather_map_cloud(cm: CubeMap, cube_idx, cube_ok):
-    """Valid-neighborhood cubes -> flat (125*C, 3) match database."""
-    pts = cm.xyz[cube_idx]          # (125, C, 3)
-    msk = cm.mask[cube_idx] & cube_ok[:, None]
-    return pts.reshape(-1, 3), msk.reshape(-1)
+    cap = vm.xyz.shape[0]
+    out_xyz, out_mask, _ = VX.voxel_downsample(all_xyz, all_mask, leaf, cap)
+    return VoxelMapStore(
+        xyz=out_xyz + new_origin[None, :], mask=out_mask, origin=new_origin)
 
 
 def optimize_to_map(
@@ -287,34 +225,6 @@ def optimize_to_map(
     return Pose(q_out, t_out)
 
 
-def insert_into_map(cm: CubeMap, points, mask, pose: Pose, leaf: float, cfg: LioConfig) -> CubeMap:
-    """UpdateMapDatabase (PointMapping.cc:1112-1208): insert world-frame
-    points, then re-downsample each affected (neighborhood) cube."""
-    m = cfg.mapping
-    world = pose.apply(points)
-    cube_idx, cube_ok = _neighborhood_cubes(cm.origin, pose.t, cfg)
-
-    flat_idx = _cube_index_of(world, cm.origin, cfg)
-
-    cap = cm.xyz.shape[1]
-
-    def update_cube(ci, ok):
-        old_xyz = cm.xyz[ci]
-        old_mask = cm.mask[ci] & ok
-        belongs = (flat_idx == ci) & mask & ok
-        merged = jnp.concatenate([old_xyz, world], axis=0)
-        merged_mask = jnp.concatenate([old_mask, belongs], axis=0)
-        new_xyz, new_mask, _ = VX.voxel_downsample(merged, merged_mask, leaf, cap)
-        return new_xyz, new_mask
-
-    new_xyz, new_mask = jax.vmap(update_cube)(cube_idx, cube_ok)
-    out_xyz = cm.xyz.at[cube_idx].set(
-        jnp.where(cube_ok[:, None, None], new_xyz, cm.xyz[cube_idx]))
-    out_mask = cm.mask.at[cube_idx].set(
-        jnp.where(cube_ok[:, None], new_mask, cm.mask[cube_idx]))
-    return cm._replace(xyz=out_xyz, mask=out_mask)
-
-
 @partial(jax.jit, static_argnames=("cfg",))
 def mapping_step(
     state: MappingState,
@@ -331,11 +241,8 @@ def mapping_step(
     incre = state.pose_bef.inverse() @ odom_pose
     pose_tobe = (state.pose @ incre).normalized()
 
-    st = recenter(state, pose_tobe.t, cfg)
-
-    cube_idx, cube_ok = _neighborhood_cubes(st.corner_map.origin, pose_tobe.t, cfg)
-    corner_db, corner_db_mask = gather_map_cloud(st.corner_map, cube_idx, cube_ok)
-    surf_db, surf_db_mask = gather_map_cloud(st.surf_map, cube_idx, cube_ok)
+    corner_db, corner_db_mask = state.corner_map.xyz, state.corner_map.mask
+    surf_db, surf_db_mask = state.surf_map.xyz, state.surf_map.mask
 
     # downsample incoming stacks (corner 0.2, surf 0.4; :1014-1023)
     c_xyz, c_mask, _ = VX.voxel_downsample(
@@ -352,9 +259,9 @@ def mapping_step(
 
     # map insertion
     corner_map = insert_into_map(
-        st.corner_map, c_xyz, c_mask, pose_opt, m.corner_filter_size, cfg)
+        state.corner_map, c_xyz, c_mask, pose_opt, m.corner_filter_size, cfg)
     surf_map = insert_into_map(
-        st.surf_map, s_xyz, s_mask, pose_opt, m.surf_filter_size, cfg)
+        state.surf_map, s_xyz, s_mask, pose_opt, m.surf_filter_size, cfg)
 
     new_state = MappingState(
         corner_map=corner_map,

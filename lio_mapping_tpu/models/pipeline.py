@@ -81,13 +81,21 @@ class LioPipeline:
         """Process one sweep (+ its IMU interval). Returns pose outputs."""
         cfg = self.cfg
         feats = process_sweep(jnp.asarray(xyz, self.dtype), jnp.asarray(mask), cfg)
-        # once INITED with IMU deskew, the scan-to-scan GN is switched off
-        # and clouds pass through raw (the reference's /enable_odom call)
-        deskew_mode = cfg.estimator.enable_deskew or cfg.estimator.cutoff_deskew
-        enable_odo = not (self.stage == "INITED" and deskew_mode)
-        self.odom_state, odo_out = self._odo_step(
-            self.odom_state, feats, jnp.asarray(enable_odo))
         self.frame_count += 1
+
+        # once INITED with IMU deskew, the scan-to-scan stage is switched
+        # off (the reference's /enable_odom call, Estimator.cc:551-559):
+        # its pose is unused and clouds pass through raw — skip it entirely.
+        deskew_mode = cfg.estimator.enable_deskew or cfg.estimator.cutoff_deskew
+        if self.stage == "INITED" and deskew_mode:
+            self.est_state, out = EST.lio_step(
+                self.est_state, feats.surf_less_flat, samples, cfg)
+            out["stage"] = self.stage
+            out["corner_cloud"] = feats.corner_less_sharp
+            return out
+
+        self.odom_state, odo_out = self._odo_step(
+            self.odom_state, feats, jnp.asarray(True))
 
         if self.stage == "NOT_INITED":
             if samples is not None and self.frame_count % cfg.estimator.init_window_factor == 0:
