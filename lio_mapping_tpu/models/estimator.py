@@ -212,9 +212,14 @@ def _calculate_laser_odom(
         x = jnp.linalg.solve(ata + 1e-9 * jnp.eye(6, dtype=dtype), atb)
 
         first = it == 0
-        new_gn = GN.degeneracy_projection(ata, 100.0)
-        proj = jnp.where(first, new_gn.proj, proj)
-        degen = jnp.where(first, new_gn.is_degenerate, degen)
+        # the 6x6 eigh is an expensive custom call on TPU: only run it on
+        # the first iteration (reference computes the projector once too)
+        proj, degen = jax.lax.cond(
+            first,
+            lambda a: (lambda g: (g.proj, g.is_degenerate))(
+                GN.degeneracy_projection(a, 100.0)),
+            lambda a: (proj, degen),
+            ata)
         x = jnp.where(degen, proj @ x, x)
         x = jnp.where(jnp.isfinite(x), x, 0.0)
 

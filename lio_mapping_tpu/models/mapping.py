@@ -192,9 +192,13 @@ def optimize_to_map(
         x = jnp.linalg.solve(ata + 1e-9 * jnp.eye(6, dtype=dtype), atb)
 
         first = it == 0
-        new_gn = GN.degeneracy_projection(ata, mcfg.degeneracy_eigen_th)
-        proj = jnp.where(first, new_gn.proj, proj)
-        degen = jnp.where(first, new_gn.is_degenerate, degen)
+        # 6x6 eigh is an expensive custom call on TPU: run only at iter 0
+        proj, degen = jax.lax.cond(
+            first,
+            lambda a: (lambda g: (g.proj, g.is_degenerate))(
+                GN.degeneracy_projection(a, mcfg.degeneracy_eigen_th)),
+            lambda a: (proj, degen),
+            ata)
         x = jnp.where(degen, proj @ x, x)
         x = jnp.where(jnp.isfinite(x), x, 0.0)
         x = jnp.where(n_rows < 50, 0.0, x)  # reference `continue` (:610)

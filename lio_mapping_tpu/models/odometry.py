@@ -211,9 +211,13 @@ def odometry_step(
         atb = jw.T @ rhs
         x = jnp.linalg.solve(ata + 1e-12 * jnp.eye(6, dtype=dtype), atb)
 
-        new_gn = GN.degeneracy_projection(ata, oc.degeneracy_eigen_th)
-        proj = jnp.where(first, new_gn.proj, proj)
-        degen = jnp.where(first, new_gn.is_degenerate, degen)
+        # 6x6 eigh is an expensive custom call on TPU: run only at iter 0
+        proj, degen = jax.lax.cond(
+            first,
+            lambda a: (lambda g: (g.proj, g.is_degenerate))(
+                GN.degeneracy_projection(a, oc.degeneracy_eigen_th)),
+            lambda a: (proj, degen),
+            ata)
         x = jnp.where(degen, proj @ x, x)
         x = jnp.where(jnp.isfinite(x), x, 0.0)
 

@@ -43,15 +43,21 @@ def imu_factor(
     g_vec: jnp.ndarray,
     p_i, q_i, v_i, ba_i, bg_i,
     p_j, q_j, v_j, ba_j, bg_j,
+    sqrt_info: jnp.ndarray | None = None,
 ):
     """Whitened IMU residual (15,) + Jacobians.
 
     Returns (residual (15,), (J_pose_i (15,6), J_sb_i (15,9),
     J_pose_j (15,6), J_sb_j (15,9))).
+
+    ``sqrt_info`` may be precomputed (it depends only on the
+    preintegration covariance) — on TPU the 15x15 inverse+Cholesky is an
+    expensive custom call, so solvers hoist it out of their iteration loops.
     """
     dtype = p_i.dtype
     res = PI.evaluate(pre, g_vec, p_i, q_i, v_i, ba_i, bg_i, p_j, q_j, v_j, ba_j, bg_j)
-    sqrt_info = sqrt_info_from_covariance(pre.covariance)
+    if sqrt_info is None:
+        sqrt_info = sqrt_info_from_covariance(pre.covariance)
 
     sum_dt = pre.sum_dt
     dp_dba = pre.jacobian[O_P:O_P + 3, O_BA:O_BA + 3]

@@ -93,14 +93,19 @@ def _evaluate(
     out["marg"] = (j_marg, r_marg, w_marg)
 
     # ---- IMU factors between consecutive opt frames ----
-    def one_imu(pre_i, i):
+    sqrt_infos = cfg_flags.get("imu_sqrt_infos")
+    if sqrt_infos is None:
+        sqrt_infos = jax.vmap(FA.sqrt_info_from_covariance)(pres.covariance)
+
+    def one_imu(pre_i, i, si):
         res, (jp_i, jsb_i, jp_j, jsb_j) = FA.imu_factor(
             pre_i, g_vec,
             x.p[i], x.q[i], x.sb[i, 0:3], x.sb[i, 3:6], x.sb[i, 6:9],
-            x.p[i + 1], x.q[i + 1], x.sb[i + 1, 0:3], x.sb[i + 1, 3:6], x.sb[i + 1, 6:9])
+            x.p[i + 1], x.q[i + 1], x.sb[i + 1, 0:3], x.sb[i + 1, 3:6], x.sb[i + 1, 6:9],
+            sqrt_info=si)
         return res, jp_i, jsb_i, jp_j, jsb_j
 
-    res_imu, jp_i, jsb_i, jp_j, jsb_j = jax.vmap(one_imu)(pres, jnp.arange(s))
+    res_imu, jp_i, jsb_i, jp_j, jsb_j = jax.vmap(one_imu)(pres, jnp.arange(s), sqrt_infos)
     j_imu = jnp.zeros((s, 15, dim), dtype)
     for i in range(s):
         j_imu = j_imu.at[i, :, pose_off + 6 * i:pose_off + 6 * i + 6].set(jp_i[i])
@@ -192,7 +197,12 @@ def solve_window(
     """LM over the window. Returns (x_opt, diagnostics)."""
     dtype = x0.p.dtype
     pose_off, sb_off, ex_off, dim = _layout(s)
-    flags = {"cauchy_scale": cauchy_scale}
+    # hoist the 15x15 covariance whitening out of the LM loop (expensive
+    # inverse+Cholesky custom calls on TPU, invariant w.r.t. the states)
+    flags = {
+        "cauchy_scale": cauchy_scale,
+        "imu_sqrt_infos": jax.vmap(FA.sqrt_info_from_covariance)(pres.covariance),
+    }
 
     free = jnp.ones((dim,), dtype)
     free = free.at[ex_off:ex_off + 6].set(
