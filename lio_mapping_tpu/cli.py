@@ -30,7 +30,12 @@ def cmd_simulate(args):
     from .io import synthetic
     from . import native
 
-    traj = synthetic.Trajectory()
+    # Rotation excitation about >=2 axes by default: the indoor profile
+    # calibrates the laser-IMU extrinsic from scratch, and its hand-eye
+    # SVD gate (ImuInitializer.cc:404-417) never accepts on a yaw-only
+    # path. --pitch-amp 0 --roll-amp 0 reproduces the flat trajectory.
+    traj = synthetic.Trajectory(pitch_amp=args.pitch_amp, roll_amp=args.roll_amp,
+                                rp_freq=0.45)
     log = native.SequenceLog(args.out, write=True)
     dt = 0.1
     imu_rate = args.imu_rate
@@ -47,6 +52,17 @@ def cmd_simulate(args):
         log.write_sweep(t0 + dt, xyz[mask], rel[mask])
     log.close()
     print(f"wrote {args.sweeps} sweeps to {args.out}")
+    if args.gt_out:
+        from .io.evaluation import save_tum
+
+        times = [i * dt + dt for i in range(args.sweeps)]
+        qs, ps = [], []
+        for t in times:
+            q, p = synthetic.gt_sensor_pose(traj, t)
+            qs.append(q)
+            ps.append(p)
+        save_tum(args.gt_out, times, np.stack(qs), np.stack(ps))
+        print(f"wrote ground truth to {args.gt_out}")
     return 0
 
 
@@ -124,6 +140,9 @@ def main(argv=None):
     p.add_argument("--sweeps", type=int, default=100)
     p.add_argument("--azimuth", type=int, default=900)
     p.add_argument("--imu-rate", type=float, default=200.0)
+    p.add_argument("--pitch-amp", type=float, default=0.4)
+    p.add_argument("--gt-out", default=None)
+    p.add_argument("--roll-amp", type=float, default=0.35)
     p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser("run")

@@ -137,13 +137,16 @@ class LioPipeline:
         w = e.window_size
         dtype = self.dtype
 
-        # integrate each interval (except slot 0) for init quantities
-        pres = [PI.Preintegration.identity(jnp.float64)]
+        # integrate each interval (except slot 0) for init quantities.
+        # f64 when the host enabled x64 (tests); otherwise f32 — requesting
+        # f64 without x64 just truncates with a warning per array.
+        f_init = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        pres = [PI.Preintegration.identity(f_init)]
         for i in range(1, w + 1):
-            s64 = jax.tree.map(lambda a: a.astype(jnp.float64), self._init_samples[i])
+            s64 = jax.tree.map(lambda a: a.astype(f_init), self._init_samples[i])
             pres.append(PI.integrate(
-                s64, jnp.zeros(3, jnp.float64), jnp.zeros(3, jnp.float64),
-                self._noise18.astype(jnp.float64)))
+                s64, jnp.zeros(3, f_init), jnp.zeros(3, f_init),
+                self._noise18.astype(f_init)))
 
         laser_q = np.stack([np.asarray(p.q, np.float64) for p in self._init_odom_poses])
         laser_p = np.stack([np.asarray(p.t, np.float64) for p in self._init_odom_poses])
@@ -169,11 +172,11 @@ class LioPipeline:
         jacs = [np.asarray(pres[i].jacobian) for i in range(1, w + 1)]
         dqs = [np.asarray(pres[i].delta_q) for i in range(1, w + 1)]
         dbg = INIT.estimate_gyro_bias(laser_q, jacs, dqs)
-        bg = jnp.asarray(dbg, jnp.float64)
+        bg = jnp.asarray(dbg, f_init)
         for i in range(1, w + 1):
-            s64 = jax.tree.map(lambda a: a.astype(jnp.float64), self._init_samples[i])
+            s64 = jax.tree.map(lambda a: a.astype(f_init), self._init_samples[i])
             pres[i] = PI.integrate(
-                s64, jnp.zeros(3, jnp.float64), bg, self._noise18.astype(jnp.float64))
+                s64, jnp.zeros(3, f_init), bg, self._noise18.astype(f_init))
 
         delta_ps = np.stack([np.asarray(pres[i].delta_p) for i in range(1, w + 1)])
         delta_vs = np.stack([np.asarray(pres[i].delta_v) for i in range(1, w + 1)])

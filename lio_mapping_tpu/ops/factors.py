@@ -191,6 +191,164 @@ def prior_factor(p, q, pos_prior, rot_prior):
     return sqrt_info @ res, sqrt_info @ jac
 
 
+def point_distance_factor(point, coeff, p_i, q_i, t_lb, q_lb, sqrt_info: float = 100.0):
+    """1-dim world-frame point-to-plane residual + Jacobians.
+
+    Parity: src/factor/PointDistanceFactor.cc:35-105. ``point`` (3,) in the
+    frame-i laser coords; ``coeff`` (4,) world-frame plane [w, b]; fixed
+    sqrt_info = 100. Returns (residual (), (J_pose (6,), J_ex (6,))).
+    """
+    q_i = quat.normalize(q_i)
+    q_lb = quat.normalize(q_lb)
+    q_li = quat.qmul(q_i, quat.conjugate(q_lb))
+    p_li = p_i - quat.rotate(q_li, t_lb)
+
+    w = coeff[:3]
+    b = coeff[3]
+    residual = w @ (quat.rotate(q_li, point) + p_li) + b
+
+    ri = quat.to_matrix(q_i)
+    rlb = quat.to_matrix(q_lb)
+    skew_pt = quat.skew(rlb.T @ point) - quat.skew(rlb.T @ t_lb)
+    j_pose = jnp.concatenate([w, -w @ ri @ skew_pt])
+    j_ex = jnp.concatenate([-w @ (ri @ rlb.T), w @ ri @ skew_pt])
+    return sqrt_info * residual, (sqrt_info * j_pose, sqrt_info * j_ex)
+
+
+def plane_projection_factor(coeff_i, coeff_j, score, p_i, q_i, p_j, q_j, t_lb, q_lb):
+    """4-dim plane-transport residual + Jacobians.
+
+    Parity: src/factor/PlaneProjectionFactor.cc:35-148. A plane fitted in
+    frame i's laser coords, transported into frame j via
+    ``(T_li^-1 T_lj)^T coeff_i`` (sign-normalized to b >= 0), should match
+    the plane fitted in frame j. Returns
+    (residual (4,), (J_i (4,6), J_j (4,6), J_ex (4,6))).
+    """
+    q_i = quat.normalize(q_i)
+    q_j = quat.normalize(q_j)
+    q_lb = quat.normalize(q_lb)
+    ri = quat.to_matrix(q_i)
+    rj = quat.to_matrix(q_j)
+    rlb = quat.to_matrix(q_lb)
+
+    w_i = coeff_i[:3]
+    b_i = coeff_i[3]
+    # transported plane: w part R_lj^T R_li w_i, offset part
+    # (P_j - P_i - (R_j - R_i) rlb^T t_lb)^T R_i rlb^T w_i + b_i
+    v = p_j - p_i - (rj - ri) @ (rlb.T @ t_lb)
+    pi_w = rlb @ rj.T @ ri @ rlb.T @ w_i
+    pi_b = v @ (ri @ (rlb.T @ w_i)) + b_i
+
+    sign = jnp.where(pi_b < 0, -1.0, 1.0)
+    residual = score * (sign * jnp.concatenate([pi_w, pi_b[None]]) - coeff_j)
+
+    a = rlb.T @ w_i
+    vv = p_j - p_i - rj @ (rlb.T @ t_lb)  # the R_i-dependent part of pi_b only
+    j_i = jnp.zeros((4, 6), p_i.dtype)
+    j_i = j_i.at[3, 0:3].set(-w_i @ rlb @ ri.T)
+    j_i = j_i.at[0:3, 3:6].set(-rlb @ rj.T @ ri @ quat.skew(a))
+    j_i = j_i.at[3, 3:6].set(w_i @ rlb @ quat.skew(ri.T @ vv))
+
+    # NOTE: the reference's jaco_j bottom-left uses Rj^T
+    # (PlaneProjectionFactor.cc:117) where the exact derivative of
+    # v.(R_i rlb^T w_i) w.r.t. P_j is w_i^T rlb R_i^T; this factor is off
+    # in all shipped configs, so its Check() never surfaced it. Exact here.
+    j_j = jnp.zeros((4, 6), p_i.dtype)
+    j_j = j_j.at[3, 0:3].set(w_i @ rlb @ ri.T)
+    j_j = j_j.at[0:3, 3:6].set(rlb @ quat.skew(rj.T @ ri @ a))
+    j_j = j_j.at[3, 3:6].set(w_i @ rlb @ ri.T @ rj @ quat.skew(rlb.T @ t_lb))
+
+    j_ex = jnp.zeros((4, 6), p_i.dtype)
+    j_ex = j_ex.at[3, 0:3].set(-w_i @ rlb @ ri.T @ (rj - ri) @ rlb.T)
+    j_ex = j_ex.at[0:3, 3:6].set(
+        rlb @ rj.T @ ri @ quat.skew(a) - rlb @ quat.skew(rj.T @ ri @ a))
+    j_ex = j_ex.at[3, 3:6].set(
+        -w_i @ rlb @ ri.T @ (rj - ri) @ quat.skew(rlb.T @ t_lb)
+        - w_i @ rlb @ quat.skew(ri.T @ v))
+    s = score * sign
+    return residual, (s * j_i, s * j_j, s * j_ex)
+
+
+def point_normal_covariance(normal, gicp_epsilon: float = 0.001):
+    """GICP covariance diag(eps, 1, 1) rotated so x aligns with the normal.
+
+    Parity: FeatureManager.h:49-82 + FeatureManager.cc:35-43
+    (``PointNormalFeature::UpdateCovariance`` via FromTwoVectors(e1, n)).
+    """
+    dtype = normal.dtype
+    n = normal / jnp.linalg.norm(normal)
+    e1 = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    # rotation taking e1 to n (any roll about n is fine: C is symmetric
+    # about the normal axis, diag(eps, 1, 1) with equal tangent entries)
+    v = jnp.cross(e1, n)
+    c = e1 @ n
+    vx = quat.skew(v)
+    # Rodrigues with the degenerate antiparallel case regularized
+    r = jnp.eye(3, dtype=dtype) + vx + vx @ vx / jnp.maximum(1.0 + c, 1e-8)
+    diag = jnp.diag(jnp.asarray([gicp_epsilon, 1.0, 1.0], dtype))
+    return r @ diag @ r.T
+
+
+def plane_to_plane_factor(
+    p_b_local, cov_b, p_a_local, cov_a,
+    p_i, q_i, p_j, q_j, t_lb, q_lb,
+):
+    """3-dim GICP plane-to-plane residual with Mahalanobis whitening.
+
+    Parity: src/factor/PlaneToPlaneFactor.cc:43-105. Matched points with
+    per-point normal covariances (``point_normal_covariance``): point b in
+    frame i's laser coords, point a in frame j's; residual is the frame-i
+    registration error whitened by chol((R C_a R^T + C_b)^-1)^T. The
+    whitening is treated as locally constant (Gauss-Newton), as in the
+    reference. Returns (residual (3,), (J_i (3,6), J_j (3,6), J_ex (3,6))).
+    """
+    q_i = quat.normalize(q_i)
+    q_j = quat.normalize(q_j)
+    q_lb = quat.normalize(q_lb)
+    ri = quat.to_matrix(q_i)
+    rj = quat.to_matrix(q_j)
+    rlb = quat.to_matrix(q_lb)
+
+    r_li = ri @ rlb.T
+    p_li = p_i - r_li @ t_lb
+    r_lj = rj @ rlb.T
+    p_lj = p_j - r_lj @ t_lb
+
+    r_ba = r_li.T @ r_lj
+    t_ba = r_li.T @ (p_lj - p_li)
+    err = r_ba @ p_a_local + t_ba - p_b_local
+
+    m = jnp.linalg.inv(r_ba @ cov_a @ r_ba.T + cov_b)
+    m = 0.5 * (m + m.T)
+    sqrt_info = jax.lax.stop_gradient(jnp.linalg.cholesky(m).T)
+
+    y = r_lj @ p_a_local + p_lj            # the matched point in world
+    u = ri.T @ (y - p_i)
+    j_i = jnp.concatenate([
+        -rlb @ ri.T,
+        rlb @ quat.skew(u),
+    ], axis=1)
+    j_j = jnp.concatenate([
+        rlb @ ri.T,
+        -rlb @ ri.T @ rj @ quat.skew(rlb.T @ (p_a_local - t_lb)),
+    ], axis=1)
+    j_ex = jnp.concatenate([
+        jnp.eye(3, dtype=p_i.dtype) - rlb @ ri.T @ rj @ rlb.T,
+        -rlb @ quat.skew(u) + rlb @ ri.T @ rj @ quat.skew(rlb.T @ (p_a_local - t_lb)),
+    ], axis=1)
+    return sqrt_info @ err, (sqrt_info @ j_i, sqrt_info @ j_j, sqrt_info @ j_ex)
+
+
+def gravity_boxplus(q_g, delta_xy):
+    """S^2 retraction for a gravity-direction quaternion.
+
+    Parity: src/factor/GravityLocalParameterization.cc:35-50 — 4 global /
+    2 local: q <- q * DeltaQ([dx, dy, 0]).
+    """
+    d = jnp.concatenate([delta_xy, jnp.zeros(1, delta_xy.dtype)])
+    return quat.normalize(quat.qmul(q_g, quat.delta_q(d)))
+
+
 def cauchy_scaling(sq_norm: jnp.ndarray, scale: float = 1.0):
     """Ceres CauchyLoss + Triggs correction factors.
 

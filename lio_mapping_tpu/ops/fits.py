@@ -33,10 +33,20 @@ def solve3x3(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
     c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
     inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-    x0 = (c00 * b[..., 0] + c10 * b[..., 1] + c20 * b[..., 2]) * inv_det
-    x1 = (c01 * b[..., 0] + c11 * b[..., 1] + c21 * b[..., 2]) * inv_det
-    x2 = (c02 * b[..., 0] + c12 * b[..., 1] + c22 * b[..., 2]) * inv_det
-    return jnp.stack([x0, x1, x2], axis=-1)
+
+    def apply_adjugate(r0, r1, r2):
+        y0 = (c00 * r0 + c10 * r1 + c20 * r2) * inv_det
+        y1 = (c01 * r0 + c11 * r1 + c21 * r2) * inv_det
+        y2 = (c02 * r0 + c12 * r1 + c22 * r2) * inv_det
+        return jnp.stack([y0, y1, y2], axis=-1)
+
+    x = apply_adjugate(b[..., 0], b[..., 1], b[..., 2])
+    # One step of iterative refinement: in f32 the raw adjugate solve loses
+    # ~half the mantissa on the ill-conditioned normal equations of
+    # near-coplanar neighborhoods; the residual correction recovers it for
+    # a handful of extra VPU flops (still no LAPACK custom call).
+    r = b - jnp.einsum("...ij,...j->...i", m, x)
+    return x + apply_adjugate(r[..., 0], r[..., 1], r[..., 2])
 
 
 def sym_eig3x3(m: jnp.ndarray):
@@ -84,22 +94,55 @@ def sym_eig3x3(m: jnp.ndarray):
     return vals, vecs
 
 
+def lstsq_k3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched least-squares solve of (..., K, 3) @ x = (..., K,).
+
+    Modified Gram-Schmidt QR + 3x3 back substitution — pure VPU
+    arithmetic (no LAPACK custom call), and unlike the normal-equation
+    route it does not square the condition number, which matters in f32
+    for near-coplanar neighborhoods far from the origin.
+    """
+    eps = jnp.asarray(1e-30, a.dtype)
+    a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]        # columns (..., K)
+
+    r00 = jnp.sqrt(jnp.maximum(jnp.sum(a0 * a0, -1), eps))
+    q0 = a0 / r00[..., None]
+    r01 = jnp.sum(q0 * a1, -1)
+    v1 = a1 - r01[..., None] * q0
+    r11 = jnp.sqrt(jnp.maximum(jnp.sum(v1 * v1, -1), eps))
+    q1 = v1 / r11[..., None]
+    r02 = jnp.sum(q0 * a2, -1)
+    r12 = jnp.sum(q1 * a2, -1)
+    v2 = a2 - r02[..., None] * q0 - r12[..., None] * q1
+    r22 = jnp.sqrt(jnp.maximum(jnp.sum(v2 * v2, -1), eps))
+    q2 = v2 / r22[..., None]
+
+    c0 = jnp.sum(q0 * b, -1)
+    c1 = jnp.sum(q1 * b, -1)
+    c2 = jnp.sum(q2 * b, -1)
+    x2 = c2 / r22
+    x1 = (c1 - r12 * x2) / r11
+    x0 = (c0 - r01 * x1 - r02 * x2) / r00
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def plane_fit(neighbors: jnp.ndarray, valid: jnp.ndarray, min_plane_dis: float):
     """Fit plane (w, d): w.p + d = 0, |w| = 1 through k neighbor points.
 
     neighbors: (..., K, 3); valid: (...,) bool (all K must be real points).
     Returns (w (...,3), d (...,), ok (...,)).
 
-    Solves A x = -1 by normal equations (least squares, equals the
-    reference's colPivHouseholderQr for full-rank A), then normalizes, then
-    checks every neighbor is within ``min_plane_dis`` of the plane.
+    Solves the reference's algebraic system ``A x = -1``
+    (PointMapping.cc:514-606, colPivHouseholderQr there) via in-kernel MGS
+    QR on the raw K x 3 matrix — the normal-equation/Cramer route squares
+    the condition number and loses the normal direction in f32 for
+    neighborhoods far from the origin (~80 deg p99 error at 6 m; QR: 0.02).
+    Then normalizes and checks every neighbor is within ``min_plane_dis``
+    of the plane, as the reference does.
     """
     a = neighbors
-    ata = jnp.einsum("...ki,...kj->...ij", a, a)
-    atb = -jnp.sum(a, axis=-2)
-    # Guard singular systems: add tiny jitter, invalid results filtered by ok.
-    eye = jnp.eye(3, dtype=a.dtype) * 1e-8
-    x = solve3x3(ata + eye, atb)
+    ones = jnp.ones(a.shape[:-1], a.dtype)
+    x = lstsq_k3(a, -ones)
 
     norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
     w = x / jnp.maximum(norm, 1e-12)

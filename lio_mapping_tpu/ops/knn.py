@@ -13,12 +13,22 @@ A Pallas double-buffered variant lives in ``ops/pallas/knn_kernel.py``.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 BIG = jnp.inf
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("LIO_DISABLE_PALLAS_KNN"):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 @partial(jax.jit, static_argnames=("k", "tile"))
@@ -35,7 +45,15 @@ def knn(
     Returns (sq_dists (Q, k) ascending, idx (Q, k) int32). Invalid queries
     get +inf distances; if fewer than k valid db points exist, the tail is
     +inf / index 0.
+
+    On TPU this dispatches to the Pallas kernel (ops/pallas/knn_kernel.py)
+    which keeps the whole search in VMEM; the tiled jnp path below is the
+    portable fallback (and the reference implementation for testing).
     """
+    if _use_pallas() and k <= 8:
+        from .pallas.knn_kernel import knn_pallas
+
+        return knn_pallas(queries, q_mask, db, db_mask, k=k)
     q = queries.shape[0]
     m = db.shape[0]
     dtype = queries.dtype
@@ -56,25 +74,16 @@ def knn(
         m_tile = jax.lax.dynamic_slice(dbm_p, (start,), (tile,))
         p_sq = jnp.sum(p_tile * p_tile, axis=-1)  # (T,)
         # (Q, T) squared distances via MXU matmul
-        cross = queries @ p_tile.T
+        cross = jnp.matmul(queries, p_tile.T, precision=jax.lax.Precision.HIGHEST)
         d = q_sq + p_sq[None, :] - 2.0 * cross
         d = jnp.where(m_tile[None, :], jnp.maximum(d, 0.0), BIG)
         idx = start + jnp.arange(tile, dtype=jnp.int32)
 
-        # merge running best-k with the tile by k iterative min-extractions:
-        # exact, and ~6x faster on TPU than lax.top_k's sorting network for
-        # small k (pure VPU min/argmin reductions)
         cat_d = jnp.concatenate([best_d, d], axis=1)  # (Q, k+T)
         cat_i = jnp.concatenate([best_i, jnp.broadcast_to(idx[None, :], (q, tile))], axis=1)
-        work = cat_d
-        new_d = jnp.zeros((q, k), dtype)
-        new_i = jnp.zeros((q, k), jnp.int32)
-        rows = jnp.arange(q)
-        for j in range(k):
-            am = jnp.argmin(work, axis=1)
-            new_d = new_d.at[:, j].set(work[rows, am])
-            new_i = new_i.at[:, j].set(jnp.take_along_axis(cat_i, am[:, None], axis=1)[:, 0])
-            work = work.at[rows, am].set(BIG)
+        neg_top, arg = jax.lax.top_k(-cat_d, k)
+        new_d = -neg_top
+        new_i = jnp.take_along_axis(cat_i, arg, axis=1)
         return new_d, new_i
 
     init_d = jnp.full((q, k), BIG, dtype=dtype)
@@ -136,7 +145,7 @@ def ring_constrained_nearest(
         idx = start + jnp.arange(tile, dtype=jnp.int32)
 
         p_sq = jnp.sum(p_tile * p_tile, axis=-1)
-        d = q_sq + p_sq[None, :] - 2.0 * (queries @ p_tile.T)
+        d = q_sq + p_sq[None, :] - 2.0 * jnp.matmul(queries, p_tile.T, precision=jax.lax.Precision.HIGHEST)
 
         if mode == "same":
             ring_ok = r_tile[None, :] == q_ring[:, None]

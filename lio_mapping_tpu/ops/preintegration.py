@@ -151,6 +151,7 @@ def midpoint_step(state: Preintegration, dt, acc0, gyr0, acc1, gyr1, noise18):
     )
 
 
+@jax.jit
 def integrate(samples: ImuSamples, ba, bg, noise18) -> Preintegration:
     """Integrate a full buffer (Propagate loop / Repropagate)."""
     dtype = samples.acc.dtype

@@ -7,13 +7,18 @@ multi-chip path); float64 is enabled so numeric-vs-analytic Jacobian checks
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the driver environment may preset JAX_PLATFORMS=axon (tunneled
+# TPU), and its sitecustomize imports jax at interpreter start — so jax has
+# already captured the env var. Setting the env alone is too late; update
+# the live config too. Unit tests must run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

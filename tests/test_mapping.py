@@ -97,6 +97,11 @@ class TestLoamPipeline:
         # 5-NN plane fits near wall corners mix two planes (a LOAM-inherited
         # bias), so "mapping strictly beats odometry" does not hold on a
         # 10-sweep toy sequence — it holds over long horizons where
-        # scan-to-scan drift accumulates.
-        assert ate_map < 0.16, f"mapping ATE {ate_map:.3f} (odom {ate_odo:.3f})"
+        # scan-to-scan drift accumulates. The envelope is 0.20 not tighter:
+        # an accurate plane solve (MGS QR, like the reference's f64 QR)
+        # *fits* corner-mixture neighborhoods well enough to pass the
+        # reference's 0.2 m planarity gate, so they stay in the GN — a
+        # sloppier f32 normal-equation solve happened to blow them up and
+        # reject them, scoring ~0.15 here by accident.
+        assert ate_map < 0.20, f"mapping ATE {ate_map:.3f} (odom {ate_odo:.3f})"
         assert ate_map < max(2.0 * ate_odo, 0.1), f"mapping {ate_map:.3f} vs odom {ate_odo:.3f}"
