@@ -1,9 +1,13 @@
 """Command-line runners (the reference's node executables, SURVEY §2 #21).
 
     python -m lio_mapping_tpu.cli run --log seq.liol --profile indoor \
-        --out traj.tum [--map-out map.pcd] [--mode lio|loam]
+        --out traj.tum [--map-out map.pcd] [--mode lio|loam] [--enable-4d]
+        [--self-filter] [--timing] [--trace-dir d] [--checkpoint-out c.npz
+        --checkpoint-every N] [--resume c.npz]
     python -m lio_mapping_tpu.cli simulate --out seq.liol --sweeps 100
     python -m lio_mapping_tpu.cli evaluate --est traj.tum --gt gt.tum
+    python -m lio_mapping_tpu.cli export-pcd --log seq.liol --traj traj.tum \
+        --out map.pcd
 
 ``run`` replaces the roslaunch graphs: it replays a sequence log through
 the full pipeline (LIO or LiDAR-only LOAM), writes a TUM trajectory, and
@@ -67,55 +71,159 @@ def cmd_simulate(args):
 
 
 def cmd_run(args):
+    import jax
     import jax.numpy as jnp
 
     from . import native
     from .io.evaluation import save_tum
-    from .models.pipeline import LioPipeline
+    from .models.pipeline import LioPipeline, LoamPipeline
+    from .utils.timing import StageTimer, device_trace
 
     cfg = _profile(args.profile)
-    pipe = LioPipeline(cfg, dtype=jnp.float32)
+    if args.mode == "loam":
+        pipe = LoamPipeline(cfg, dtype=jnp.float32)
+    else:
+        pipe = LioPipeline(cfg, dtype=jnp.float32)
+    if args.resume:
+        pipe.load(args.resume)
+        print(f"resumed from {args.resume} (frame {pipe.frame_count})")
     mq = native.MeasurementQueue(cfg.estimator.msg_time_delay)
     global_map = native.GlobalVoxelMap(cfg.mapping.map_filter_size) if args.map_out else None
+    timer = StageTimer(enabled=args.timing, sync=args.timing)
+
+    # 4D map builder consuming the estimator's local output
+    # (launch/map_4D_indoor.launch:9-15)
+    mb_state = None
+    times_4d, qs_4d, ts_4d = [], [], []
+    if args.enable_4d:
+        from .models import map_builder as MB
+        from .models import mapping as MAPM
+
+        mb_state = MAPM.init_state(cfg, jnp.float32)
+
+    self_rot = self_box = None
+    if args.self_filter:
+        from .ops.cloud import (KAIST_SELF_FILTER_BOX,
+                                KAIST_SELF_FILTER_ROTATION, crop_box_filter)
+
+        self_rot = np.asarray(KAIST_SELF_FILTER_ROTATION, np.float32)
+        self_box = KAIST_SELF_FILTER_BOX
+
+    def step(t, xyz, mask, samples):
+        nonlocal mb_state
+        if self_rot is not None:
+            with timer.stage("self_filter"):
+                mask = np.asarray(crop_box_filter(
+                    jnp.asarray(xyz), jnp.asarray(mask), self_box[0],
+                    self_box[1], self_rot))
+        with timer.stage("pipeline"):
+            if args.mode == "loam":
+                out = pipe.process(xyz, mask)
+            else:
+                out = pipe.process(xyz, mask, samples)
+            if timer.sync:
+                jax.block_until_ready(out["laser_pose"].t)
+        pose = out.get("laser_pose")
+        if pose is None:
+            return
+        if mb_state is not None and out.get("stage") == "INITED":
+            with timer.stage("map_builder"):
+                mb_state, mb_out = MB.map_builder_step(
+                    mb_state, out["corner_cloud"], out["surf_cloud"], pose, cfg)
+                pose_4d = mb_out["pose"]
+                if timer.sync:
+                    jax.block_until_ready(pose_4d.t)
+            times_4d.append(t)
+            qs_4d.append(np.asarray(pose_4d.q))
+            ts_4d.append(np.asarray(pose_4d.t))
+        times.append(t)
+        qs.append(np.asarray(pose.q))
+        ts.append(np.asarray(pose.t))
+        if global_map is not None and out.get("stage") in ("INITED", "LOAM"):
+            from .utils import quaternion as quat
+
+            with timer.stage("global_map"):
+                world = np.asarray(quat.rotate(pose.q[None, :], jnp.asarray(xyz[mask]))) \
+                    + np.asarray(pose.t)
+                global_map.insert(world)
+        if args.checkpoint_out and args.checkpoint_every and \
+                len(times) % args.checkpoint_every == 0:
+            with timer.stage("checkpoint"):
+                pipe.save(args.checkpoint_out)
 
     sweeps = {}
     times, qs, ts = [], [], []
     next_id = 0
-    for item in native.SequenceLog(args.log):
-        if item[0] == "imu":
-            mq.push_imu(item[1], item[2], item[3])
-        else:
-            sweeps[next_id] = (item[2], item[3])
-            mq.push_sweep(item[1], next_id)
-            next_id += 1
-        while True:
-            pair = mq.next_pair()
-            if pair is None:
-                break
-            t, sid, imu_t, acc, gyr = pair
-            xyz, rel = sweeps.pop(sid)
-            if len(imu_t) >= 2:
-                dts = np.diff(np.concatenate([[imu_t[0]], imu_t[1:]]))
-                samples = pipe.make_samples(dts, acc[1:], gyr[1:], acc[0], gyr[0])
+    with device_trace(args.trace_dir):
+        for item in native.SequenceLog(args.log):
+            if item[0] == "imu":
+                mq.push_imu(item[1], item[2], item[3])
             else:
-                samples = None
-            out = pipe.process(xyz, np.ones(len(xyz), bool), samples)
-            pose = out.get("laser_pose")
-            if pose is not None:
-                times.append(t)
-                qs.append(np.asarray(pose.q))
-                ts.append(np.asarray(pose.t))
-                if global_map is not None and out.get("stage") == "INITED":
-                    from .utils import quaternion as quat
-
-                    world = np.asarray(quat.rotate(pose.q[None, :], jnp.asarray(xyz))) + np.asarray(pose.t)
-                    global_map.insert(world)
+                sweeps[next_id] = (item[2], item[3])
+                mq.push_sweep(item[1], next_id)
+                next_id += 1
+            while True:
+                pair = mq.next_pair()
+                if pair is None:
+                    break
+                t, sid, imu_t, acc, gyr = pair
+                xyz, rel = sweeps.pop(sid)
+                if len(imu_t) >= 2:
+                    dts = np.diff(np.concatenate([[imu_t[0]], imu_t[1:]]))
+                    samples = pipe.make_samples(dts, acc[1:], gyr[1:], acc[0], gyr[0]) \
+                        if args.mode == "lio" else None
+                else:
+                    samples = None
+                step(t, xyz, np.ones(len(xyz), bool), samples)
 
     save_tum(args.out, times, np.stack(qs), np.stack(ts))
-    print(f"wrote {len(times)} poses to {args.out} (stage: {pipe.stage})")
+    stage = pipe.stage if args.mode == "lio" else "LOAM"
+    print(f"wrote {len(times)} poses to {args.out} (stage: {stage})")
+    if args.out_4d and times_4d:
+        save_tum(args.out_4d, times_4d, np.stack(qs_4d), np.stack(ts_4d))
+        print(f"wrote {len(times_4d)} 4D-refined poses to {args.out_4d}")
     if global_map is not None:
         global_map.save_pcd(args.map_out)
         print(f"wrote {len(global_map)} map voxels to {args.map_out}")
+    if args.checkpoint_out:
+        pipe.save(args.checkpoint_out)
+        print(f"wrote checkpoint to {args.checkpoint_out}")
+    if args.timing:
+        print(timer.report())
+    return 0
+
+
+def cmd_export_pcd(args):
+    """Offline sequence-log + trajectory -> aggregated world-frame PCD.
+
+    Parity: src/save_bag_to_pcd.cc:60-105 — the reference replays a
+    recorded bag of registered clouds + mapped odometry into one PCD; here
+    the sweeps come from the sequence log and the poses from a TUM
+    trajectory (matched by timestamp, |dt| <= half a scan period).
+    """
+    import jax.numpy as jnp
+
+    from . import native
+    from .io.evaluation import load_tum
+    from .utils import quaternion as quat
+
+    t_tr, q_tr, p_tr = load_tum(args.traj)
+    gmap = native.GlobalVoxelMap(args.leaf)
+    half = 0.05
+    n_used = 0
+    for item in native.SequenceLog(args.log):
+        if item[0] != "sweep":
+            continue
+        t, xyz = item[1], item[2]
+        i = int(np.argmin(np.abs(t_tr - t)))
+        if abs(t_tr[i] - t) > half:
+            continue
+        world = np.asarray(quat.rotate(jnp.asarray(q_tr[i])[None, :],
+                                       jnp.asarray(xyz))) + p_tr[i]
+        gmap.insert(world)
+        n_used += 1
+    gmap.save_pcd(args.out)
+    print(f"aggregated {n_used} sweeps -> {len(gmap)} voxels in {args.out}")
     return 0
 
 
@@ -151,12 +259,37 @@ def main(argv=None):
                    choices=["indoor", "outdoor", "outdoor_64"])
     p.add_argument("--out", required=True)
     p.add_argument("--map-out", default=None)
+    p.add_argument("--mode", default="lio", choices=["lio", "loam"],
+                   help="lio = tightly-coupled estimator (test_indoor.launch); "
+                        "loam = LiDAR-only baseline (16_scans_test.launch)")
+    p.add_argument("--enable-4d", action="store_true",
+                   help="run the yaw-constrained 4D map builder on the "
+                        "estimator output (map_4D_indoor.launch)")
+    p.add_argument("--out-4d", default=None,
+                   help="TUM output for the 4D-refined trajectory")
+    p.add_argument("--self-filter", action="store_true",
+                   help="KAIST-rig vehicle crop-box self-filter "
+                        "(input_filters_node.cc)")
+    p.add_argument("--timing", action="store_true",
+                   help="per-stage wall-clock report (TicToc equivalent)")
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler device trace here")
+    p.add_argument("--checkpoint-out", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", default=None)
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("evaluate")
     p.add_argument("--est", required=True)
     p.add_argument("--gt", required=True)
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("export-pcd")
+    p.add_argument("--log", required=True)
+    p.add_argument("--traj", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--leaf", type=float, default=0.2)
+    p.set_defaults(fn=cmd_export_pcd)
 
     args = ap.parse_args(argv)
     return args.fn(args)

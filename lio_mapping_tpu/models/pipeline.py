@@ -32,6 +32,7 @@ from ..utils import quaternion as quat
 from ..utils.se3 import Pose
 from . import estimator as EST
 from . import initializer as INIT
+from . import mapping as MAP
 from . import odometry as ODO
 from .point_processor import process_sweep
 
@@ -92,6 +93,7 @@ class LioPipeline:
                 self.est_state, feats.surf_less_flat, samples, cfg)
             out["stage"] = self.stage
             out["corner_cloud"] = feats.corner_less_sharp
+            out["surf_cloud"] = feats.surf_less_flat
             return out
 
         self.odom_state, odo_out = self._odo_step(
@@ -108,16 +110,47 @@ class LioPipeline:
                         self._init_odom_poses.pop(0)
                         self._init_samples.pop(0)
                         self._init_stacks.pop(0)
+            # note: on the frame where initialization succeeds this returns
+            # stage == "INITED" with the scan-to-scan pose (the estimator
+            # first solves on the NEXT frame, Estimator.cc:614-618)
             return {
                 "stage": self.stage,
                 "laser_pose": odo_out["pose"],
+                "corner_cloud": odo_out["corner_cloud"],
+                "surf_cloud": odo_out["surf_cloud"],
             }
 
         # ---- INITED ----
         self.est_state, out = EST.lio_step(
             self.est_state, odo_out["surf_cloud"], samples, cfg)
         out["stage"] = self.stage
+        out["corner_cloud"] = odo_out["corner_cloud"]
+        out["surf_cloud"] = odo_out["surf_cloud"]
         return out
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (net-new vs. reference; SURVEY §5)
+    def save(self, path: str):
+        """Serialize the INITED device state to an npz checkpoint."""
+        from ..io import checkpoint as CKPT
+
+        meta = jnp.asarray(
+            [1 if self.stage == "INITED" else 0, self.frame_count], jnp.int32)
+        CKPT.save_state(path, est=self.est_state, odom=self.odom_state,
+                        meta=meta)
+
+    def load(self, path: str):
+        """Resume from a checkpoint written by :meth:`save`."""
+        from ..io import checkpoint as CKPT
+
+        loaded = CKPT.load_state(
+            path, est=self.est_state, odom=self.odom_state,
+            meta=jnp.zeros(2, jnp.int32))
+        self.est_state = loaded["est"]
+        self.odom_state = loaded["odom"]
+        inited, count = np.asarray(loaded["meta"])
+        self.stage = "INITED" if int(inited) else "NOT_INITED"
+        self.frame_count = int(count)
 
     # ------------------------------------------------------------------
     def _push_init_frame(self, odo_out, samples: PI.ImuSamples):
@@ -243,3 +276,59 @@ class LioPipeline:
             t_lb=jnp.asarray(t_lb, dtype),
         )
         return True
+
+
+class LoamPipeline:
+    """LiDAR-only LOAM baseline: processor -> odometry -> scan-to-map.
+
+    The reference's baseline launch graph (launch/16_scans_test.launch:7-9:
+    processor_node + odometry_node + mapping_node, no IMU). Scan-to-map
+    refinement runs every ``io_ratio``-th frame (odometry_node.cc:50,
+    PointMapping decimation); in between, the published pose chains the
+    scan-to-scan increment onto the last mapped pose exactly like
+    TransformAssociateToMap (PointMapping.cc:755-758).
+    """
+
+    def __init__(self, cfg: LioConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.odom_state = ODO.init_state(cfg, dtype)
+        self.map_state = MAP.init_state(cfg, dtype)
+        self.frame_count = 0
+        self._odo_step = jax.jit(
+            lambda s, f, en: ODO.odometry_step(s, f, cfg, en))
+        self._associate = jax.jit(
+            lambda ms, op: (ms.pose @ (ms.pose_bef.inverse() @ op)).normalized())
+
+    def process(self, xyz: np.ndarray, mask: np.ndarray) -> dict:
+        cfg = self.cfg
+        feats = process_sweep(jnp.asarray(xyz, self.dtype), jnp.asarray(mask), cfg)
+        self.odom_state, odo_out = self._odo_step(
+            self.odom_state, feats, jnp.asarray(True))
+        self.frame_count += 1
+
+        if self.frame_count % cfg.odometry.io_ratio == 0:
+            self.map_state, m_out = MAP.mapping_step(
+                self.map_state, odo_out["corner_cloud"], odo_out["surf_cloud"],
+                odo_out["pose"], cfg)
+            pose = m_out["pose"]
+        else:
+            pose = self._associate(self.map_state, odo_out["pose"])
+        return {"stage": "LOAM", "laser_pose": pose,
+                "odom_pose": odo_out["pose"]}
+
+    def save(self, path: str):
+        from ..io import checkpoint as CKPT
+
+        CKPT.save_state(path, odom=self.odom_state, map=self.map_state,
+                        meta=jnp.asarray([self.frame_count], jnp.int32))
+
+    def load(self, path: str):
+        from ..io import checkpoint as CKPT
+
+        loaded = CKPT.load_state(
+            path, odom=self.odom_state, map=self.map_state,
+            meta=jnp.zeros(1, jnp.int32))
+        self.odom_state = loaded["odom"]
+        self.map_state = loaded["map"]
+        self.frame_count = int(np.asarray(loaded["meta"])[0])

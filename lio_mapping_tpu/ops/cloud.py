@@ -92,6 +92,36 @@ def concat_clouds(a: Cloud, b: Cloud) -> Cloud:
     )
 
 
+def crop_box_filter(xyz: jnp.ndarray, mask: jnp.ndarray,
+                    box_min, box_max, rotation=None,
+                    negative: bool = True) -> jnp.ndarray:
+    """Axis-aligned crop-box self-filter; returns the updated mask.
+
+    Parity: src/input_filters_node.cc:54-62 — the KAIST-rig vehicle
+    self-filter rotates the sweep into a gravity-aligned frame, removes
+    (``negative=True``) every point inside the box [box_min, box_max], and
+    rotates back. Here the rotation is applied only to the containment
+    test (no round-trip transform needed) and removal is a mask update —
+    fixed shapes, no compaction.
+    """
+    p = xyz if rotation is None else xyz @ jnp.asarray(rotation, xyz.dtype).T
+    lo = jnp.asarray(box_min, xyz.dtype)
+    hi = jnp.asarray(box_max, xyz.dtype)
+    inside = jnp.all((p >= lo) & (p <= hi), axis=-1)
+    keep = ~inside if negative else inside
+    return mask & keep
+
+
+# KAIST Urban rig: rotation to the gravity-aligned filtering frame and the
+# vehicle-body crop box (input_filters_node.cc:55-56,84-88).
+KAIST_SELF_FILTER_ROTATION = (
+    (-4.91913910e-01, 7.13989130e-01, -4.98237120e-01),
+    (-5.01145813e-01, -7.00156621e-01, -5.08560301e-01),
+    (-7.11950546e-01, -4.78439170e-04, 7.02229444e-01),
+)
+KAIST_SELF_FILTER_BOX = ((-10.0, -5.0, -1.7), (5.0, 7.0, 0.6))
+
+
 def compact_cloud(c: Cloud, capacity: int) -> Cloud:
     """Pack valid points to the front and truncate/pad to ``capacity``.
 

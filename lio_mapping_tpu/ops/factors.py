@@ -339,6 +339,50 @@ def plane_to_plane_factor(
     return sqrt_info @ err, (sqrt_info @ j_i, sqrt_info @ j_j, sqrt_info @ j_ex)
 
 
+def imu_gravity_factor(
+    pre: Preintegration,
+    q_g: jnp.ndarray,
+    g_norm: float,
+    p_i, q_i, v_i, ba_i, bg_i,
+    p_j, q_j, v_j, ba_j, bg_j,
+    sqrt_info: jnp.ndarray | None = None,
+):
+    """ImuFactor variant with gravity as an S^2 quaternion parameter.
+
+    Parity: include/factor/ImuGravityFactor.h:44-232 (the reference keeps
+    it as an unwired alternative) — world gravity ``g = R(q_g) @ GI`` with
+    ``GI = (0, 0, -g_norm)``; the residual is the standard 15-dim IMU
+    residual, and the extra Jacobian is w.r.t. the 2-dim tangent of
+    :func:`gravity_boxplus` (right-multiplied ``DeltaQ([dx, dy, 0])``).
+
+    Returns (residual (15,), (J_pose_i, J_sb_i, J_pose_j, J_sb_j,
+    J_gravity (15, 2))).
+    """
+    dtype = p_i.dtype
+    g_i = jnp.asarray([0.0, 0.0, -g_norm], dtype)
+    q_g = quat.normalize(q_g)
+    g_vec = quat.rotate(q_g, g_i)
+    if sqrt_info is None:
+        sqrt_info = sqrt_info_from_covariance(pre.covariance)
+    res_w, (jp_i, jsb_i, jp_j, jsb_j) = imu_factor(
+        pre, g_vec, p_i, q_i, v_i, ba_i, bg_i, p_j, q_j, v_j, ba_j, bg_j,
+        sqrt_info)
+
+    # d g(u) / du for q_g <- q_g * DeltaQ([u; 0]):
+    #   g(u) = Rwi (I + [u]x) GI  =>  dg/du = -Rwi [GI]x (first two cols)
+    sum_dt = pre.sum_dt
+    ri_inv = quat.to_matrix(quat.normalize(q_i)).T
+    rwi = quat.to_matrix(q_g)
+    dg_du = -(rwi @ quat.skew(g_i))[:, :2]
+    j_g = jnp.zeros((15, 2), dtype)
+    # our evaluate uses residual_p = Ri^T (-0.5 g dt^2 + ...) and
+    # residual_v = Ri^T (-g dt + ...) (see imu_factor's jp_i blocks), hence
+    # the leading minus vs ImuGravityFactor.h:220-229
+    j_g = j_g.at[O_P:O_P + 3, :].set(-0.5 * sum_dt * sum_dt * ri_inv @ dg_du)
+    j_g = j_g.at[O_V:O_V + 3, :].set(-sum_dt * ri_inv @ dg_du)
+    return res_w, (jp_i, jsb_i, jp_j, jsb_j, sqrt_info @ j_g)
+
+
 def gravity_boxplus(q_g, delta_xy):
     """S^2 retraction for a gravity-direction quaternion.
 

@@ -230,3 +230,44 @@ class TestCauchy:
             rho1 = 1.0 / (1.0 + s)
             assert float(rs) == pytest.approx(np.sqrt(rho1))
             assert float(js) == pytest.approx(np.sqrt(rho1))
+
+
+class TestImuGravityFactor:
+    """ImuGravityFactor parity (include/factor/ImuGravityFactor.h:44-232)."""
+
+    def test_residual_matches_imu_factor(self, pim):
+        traj, _, pre, _ = pim
+        q0, p0, v0 = gt_state(traj, 0.3)
+        q1, p1, v1 = gt_state(traj, 0.8)
+        z = jnp.zeros(3, jnp.float64)
+        rng = np.random.default_rng(2)
+        q_g = quat.exp(jnp.asarray(rng.normal(0, 0.05, 3)))
+        states = (p0, q0, v0, z, z, p1, q1, v1, z, z)
+        res, jacs = FA.imu_gravity_factor(pre, q_g, G, *states)
+        g_vec = quat.rotate(q_g, jnp.asarray([0.0, 0.0, -G]))
+        res_ref, jacs_ref = FA.imu_factor(pre, g_vec, *states)
+        np.testing.assert_allclose(np.asarray(res), np.asarray(res_ref), atol=1e-12)
+        for ja, jb in zip(jacs[:4], jacs_ref):
+            np.testing.assert_array_equal(np.asarray(ja), np.asarray(jb))
+
+    def test_gravity_jacobian_matches_autodiff(self, pim):
+        traj, _, pre, _ = pim
+        q0, p0, v0 = gt_state(traj, 0.3)
+        q1, p1, v1 = gt_state(traj, 0.8)
+        z = jnp.zeros(3, jnp.float64)
+        rng = np.random.default_rng(2)
+        q_g = quat.exp(jnp.asarray(rng.normal(0, 0.05, 3)))
+        states = (p0, q0, v0, z, z, p1, q1, v1, z, z)
+        _, jacs = FA.imu_gravity_factor(pre, q_g, G, *states)
+        j_g = jacs[4]
+
+        sqrt_info = FA.sqrt_info_from_covariance(pre.covariance)
+
+        def f(dxy):
+            qg2 = FA.gravity_boxplus(q_g, dxy)
+            g = quat.rotate(qg2, jnp.asarray([0.0, 0.0, -G]))
+            return sqrt_info @ PI.evaluate(pre, g, *states)
+
+        j_num = jax.jacfwd(f)(jnp.zeros(2, jnp.float64))
+        err = np.abs(np.asarray(j_g) - np.asarray(j_num)) / (1.0 + np.abs(np.asarray(j_num)))
+        assert err.max() < 1e-6, err.max()
