@@ -159,3 +159,16 @@ class TestLioCheckpointRoundTrip:
         for a, b in zip(jax.tree.leaves(pipe.est_state),
                         jax.tree.leaves(pipe2.est_state)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_default_matmul_precision_is_full_f32():
+    """Importing the package must pin full-f32 matmuls: TPU-default bf16
+    MXU truncation costs ~10x ATE on the window solver (measured 4.7 m ->
+    0.59 m on the synthetic indoor sequence). LIO_MATMUL_PRECISION
+    overrides."""
+    import os
+
+    import lio_mapping_tpu  # noqa: F401
+
+    expect = os.environ.get("LIO_MATMUL_PRECISION", "highest")
+    assert jax.config.jax_default_matmul_precision == expect
