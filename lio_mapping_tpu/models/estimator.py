@@ -264,12 +264,14 @@ def lio_step(
     # ---- 1-2. propagation + preintegration of the new interval ----
     q_prev, p_prev, v_prev = state.qs[w], state.ps[w], state.vs[w]
     ba, bg = state.bas[w], state.bgs[w]
-    q_pred, p_pred, v_pred = propagate_world(
-        q_prev, p_prev, v_prev, ba, bg, state.g_vec, samples)
 
     imu_cfg = e.imu
     noise18 = PI.noise_matrix(imu_cfg.acc_n, imu_cfg.gyr_n, imu_cfg.acc_w, imu_cfg.gyr_w, dtype)
     pre_k = PI.integrate(samples, ba, bg, noise18)
+    # world propagation follows exactly from the preintegrated deltas
+    # (Estimator.cc:387-394); avoids a second sequential IMU scan
+    q_pred, p_pred, v_pred = PI.apply_deltas(
+        pre_k, q_prev, p_prev, v_prev, state.g_vec)
 
     # ---- 3. IMU-predicted deskew + stack downsample ----
     # body motion over the sweep: T_e^-1 T_s, slerp-scaled to the scan period

@@ -152,8 +152,13 @@ def midpoint_step(state: Preintegration, dt, acc0, gyr0, acc1, gyr1, noise18):
 
 
 @jax.jit
-def integrate(samples: ImuSamples, ba, bg, noise18) -> Preintegration:
-    """Integrate a full buffer (Propagate loop / Repropagate)."""
+def integrate_sequential(samples: ImuSamples, ba, bg, noise18) -> Preintegration:
+    """Reference-shaped sequential integration (Propagate loop).
+
+    One ``lax.scan`` step per IMU sample — the literal transcription of the
+    reference recursion, kept as the ground truth the batched ``integrate``
+    is tested against. O(M) sequential depth: latency-bound on TPU.
+    """
     dtype = samples.acc.dtype
     init = Preintegration.identity(dtype)._replace(linearized_ba=ba, linearized_bg=bg)
 
@@ -172,6 +177,161 @@ def integrate(samples: ImuSamples, ba, bg, noise18) -> Preintegration:
         step, (init, samples.acc0, samples.gyr0),
         (samples.dt, samples.acc, samples.gyr))
     return final
+
+
+def _step_matrices(dt, rot0, rot1, un_gyr, a0, a1, noise18, dtype):
+    """Discrete F (15x15) / V N V^T (15x15) for one midpoint step, from the
+    precomputed entry/exit rotations (IntegrationBase.h:150-200 layout)."""
+    eye3 = jnp.eye(3, dtype=dtype)
+    r_w_x = quat.skew(un_gyr)
+    r_a_0_x = quat.skew(a0)
+    r_a_1_x = quat.skew(a1)
+
+    f = jnp.zeros((15, 15), dtype=dtype)
+    f = f.at[O_P:O_P + 3, O_P:O_P + 3].set(eye3)
+    f = f.at[O_P:O_P + 3, O_R:O_R + 3].set(
+        -0.25 * rot0 @ r_a_0_x * dt * dt
+        + -0.25 * rot1 @ r_a_1_x @ (eye3 - r_w_x * dt) * dt * dt)
+    f = f.at[O_P:O_P + 3, O_V:O_V + 3].set(eye3 * dt)
+    f = f.at[O_P:O_P + 3, O_BA:O_BA + 3].set(-0.25 * (rot0 + rot1) * dt * dt)
+    # NOTE: reference uses -0.1667 (third-order), not -0.25 (IntegrationBase.h:173)
+    f = f.at[O_P:O_P + 3, O_BG:O_BG + 3].set(-0.1667 * rot1 @ r_a_1_x * dt * dt * -dt)
+    f = f.at[O_R:O_R + 3, O_R:O_R + 3].set(eye3 - r_w_x * dt)
+    f = f.at[O_R:O_R + 3, O_BG:O_BG + 3].set(-eye3 * dt)
+    f = f.at[O_V:O_V + 3, O_R:O_R + 3].set(
+        -0.5 * rot0 @ r_a_0_x * dt
+        + -0.5 * rot1 @ r_a_1_x @ (eye3 - r_w_x * dt) * dt)
+    f = f.at[O_V:O_V + 3, O_V:O_V + 3].set(eye3)
+    f = f.at[O_V:O_V + 3, O_BA:O_BA + 3].set(-0.5 * (rot0 + rot1) * dt)
+    f = f.at[O_V:O_V + 3, O_BG:O_BG + 3].set(-0.5 * rot1 @ r_a_1_x * dt * -dt)
+    f = f.at[O_BA:O_BA + 3, O_BA:O_BA + 3].set(eye3)
+    f = f.at[O_BG:O_BG + 3, O_BG:O_BG + 3].set(eye3)
+
+    v = jnp.zeros((15, 18), dtype=dtype)
+    v = v.at[O_P:O_P + 3, 0:3].set(0.5 * rot0 * dt * dt)
+    v = v.at[O_P:O_P + 3, 3:6].set(0.25 * -rot1 @ r_a_1_x * dt * dt * 0.5 * dt)
+    v = v.at[O_P:O_P + 3, 6:9].set(0.5 * rot1 * dt * dt)
+    v = v.at[O_P:O_P + 3, 9:12].set(0.25 * -rot1 @ r_a_1_x * dt * dt * 0.5 * dt)
+    v = v.at[O_R:O_R + 3, 3:6].set(0.5 * eye3 * dt)
+    v = v.at[O_R:O_R + 3, 9:12].set(0.5 * eye3 * dt)
+    v = v.at[O_V:O_V + 3, 0:3].set(0.5 * rot0 * dt)
+    v = v.at[O_V:O_V + 3, 3:6].set(0.5 * -rot1 @ r_a_1_x * dt * 0.5 * dt)
+    v = v.at[O_V:O_V + 3, 6:9].set(0.5 * rot1 * dt)
+    v = v.at[O_V:O_V + 3, 9:12].set(0.5 * -rot1 @ r_a_1_x * dt * 0.5 * dt)
+    v = v.at[O_BA:O_BA + 3, 12:15].set(eye3 * dt)
+    v = v.at[O_BG:O_BG + 3, 15:18].set(eye3 * dt)
+
+    g = v @ noise18 @ v.T  # per-step injected noise, 15x15
+    return f, g
+
+
+@jax.jit
+def integrate(samples: ImuSamples, ba, bg, noise18) -> Preintegration:
+    """Batched/log-depth integration of a full buffer (Propagate/Repropagate).
+
+    Mathematically identical to ``integrate_sequential`` (same midpoint
+    recursion, IntegrationBase.h:127-209) but restructured for TPU latency:
+    the recursion is a composition of associative pieces, so the M-step
+    sequential scan (M kernel-dispatches of 15x15 matmuls — pure latency)
+    becomes
+
+    * quaternion chain  dq_0 (x) ... (x) dq_k  -> ``lax.associative_scan``,
+    * delta_v / delta_p -> (exclusive) cumulative sums,
+    * bias Jacobian     F_{M-1} ... F_0        -> associative matrix scan,
+    * covariance        sum_k  Phi_{k+1..} (V_k N V_k^T) Phi_{k+1..}^T
+      with the suffix transports Phi from a reverse associative scan,
+      contracted as one batched einsum.
+
+    All heavy math is batched over the M samples; the only sequential
+    structure left is the log(M)-depth scan tree. Results match the
+    sequential version to float rounding (reassociation only).
+    """
+    dtype = samples.acc.dtype
+    m = samples.dt.shape[0]
+    dt = samples.dt
+    valid = dt != 0
+
+    # previous sample per step: forward-fill the last valid sample
+    # (pads keep the previous sample, mirroring the scan's carry)
+    idx = jnp.arange(m, dtype=jnp.int32)
+    last_valid = jnp.where(valid, idx, jnp.int32(-1))
+    prev_idx = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32),
+         jax.lax.cummax(last_valid)[:-1]])
+    acc_all = jnp.concatenate([samples.acc0[None, :], samples.acc], axis=0)
+    gyr_all = jnp.concatenate([samples.gyr0[None, :], samples.gyr], axis=0)
+    acc_prev = acc_all[prev_idx + 1]
+    gyr_prev = gyr_all[prev_idx + 1]
+
+    # --- quaternion chain (delta_q prefix products) ---
+    un_gyr = 0.5 * (gyr_prev + samples.gyr) - bg[None, :]
+    dqs = quat.delta_q(un_gyr * dt[:, None])
+    cum_q = jax.lax.associative_scan(quat.qmul, dqs)
+    cum_q = quat.normalize(cum_q)
+    q_entry = jnp.concatenate([quat.identity(dtype)[None, :], cum_q[:-1]], axis=0)
+
+    # --- accelerations in the start frame ---
+    a0 = acc_prev - ba[None, :]
+    a1 = samples.acc - ba[None, :]
+    un_acc_0 = quat.rotate(q_entry, a0)
+    # the reference rotates un_acc_1 by the *pre-normalization* product
+    # q_entry (x) dq (midpoint_step: dq_new before normalize) — reproduce
+    # that quirk exactly so batched == sequential to rounding
+    un_acc_1 = quat.rotate(quat.qmul(q_entry, dqs), a1)
+    un_acc = 0.5 * (un_acc_0 + un_acc_1)
+
+    # --- delta_v / delta_p as cumulative sums ---
+    dv_steps = un_acc * dt[:, None]
+    dv_incl = jnp.cumsum(dv_steps, axis=0)
+    v_entry = dv_incl - dv_steps  # exclusive cumsum: delta_v at step entry
+    delta_v = dv_incl[-1]
+    delta_p = jnp.sum(v_entry * dt[:, None] + 0.5 * un_acc * (dt * dt)[:, None], axis=0)
+
+    # --- per-step F / injected noise, batched ---
+    rot0 = jax.vmap(quat.to_matrix)(q_entry)
+    rot1 = jax.vmap(quat.to_matrix)(cum_q)
+    fs, gs = jax.vmap(
+        lambda d, r0, r1, w, x0, x1: _step_matrices(d, r0, r1, w, x0, x1, noise18, dtype)
+    )(dt, rot0, rot1, un_gyr, a0, a1)
+
+    # --- bias Jacobian: left product F_{M-1} ... F_0 ---
+    prefix = jax.lax.associative_scan(lambda a, b: jnp.matmul(b, a), fs)
+    jacobian = prefix[-1]
+
+    # --- covariance: suffix-transported noise sum ---
+    # suffix[k] = F_{M-1} ... F_k ; transport of step k's noise is suffix[k+1].
+    # (with reverse=True the combine sees (earlier, later) in flipped order,
+    # so descending composition is a @ b here, not b @ a)
+    suffix = jax.lax.associative_scan(lambda a, b: jnp.matmul(a, b), fs, reverse=True)
+    phi = jnp.concatenate([suffix[1:], jnp.eye(15, dtype=dtype)[None]], axis=0)
+    covariance = jnp.einsum("kij,kjl,kml->im", phi, gs, phi)
+
+    return Preintegration(
+        delta_p=delta_p,
+        delta_q=cum_q[-1],
+        delta_v=delta_v,
+        jacobian=jacobian,
+        covariance=covariance,
+        sum_dt=jnp.sum(dt),
+        linearized_ba=ba,
+        linearized_bg=bg,
+    )
+
+
+def apply_deltas(pre: Preintegration, q0, p0, v0, g_vec):
+    """World-state propagation from the preintegrated deltas.
+
+    Exactly the midpoint world propagation (Estimator.cc:387-394): with
+    R_k = R_0 dR_k the world midpoint acceleration is R_0 * (body midpoint)
+    + g_vec, and the constant g_vec integrates analytically (the
+    cross-terms telescope to 0.5 g T^2). Replaces a second sequential IMU
+    scan in the per-sweep step.
+    """
+    t = pre.sum_dt
+    q = quat.normalize(quat.qmul(q0, pre.delta_q))
+    v = v0 + g_vec * t + quat.rotate(q0, pre.delta_v)
+    p = p0 + v0 * t + 0.5 * g_vec * t * t + quat.rotate(q0, pre.delta_p)
+    return q, p, v
 
 
 def evaluate(

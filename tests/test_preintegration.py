@@ -102,6 +102,53 @@ class TestMidpointIntegration:
             got = np.asarray(pre.jacobian[PI.O_R:PI.O_R + 3, PI.O_BG + k])
             np.testing.assert_allclose(got, want, atol=2e-3)
 
+    def test_batched_matches_sequential(self, pim):
+        """The log-depth associative-scan integrate must reproduce the
+        reference-shaped sequential scan to float rounding — deltas,
+        bias Jacobian, and covariance alike (including interior padding)."""
+        traj, samples, _, noise18 = pim
+        ba = jnp.asarray([0.02, -0.01, 0.03], jnp.float64)
+        bg = jnp.asarray([-0.002, 0.001, 0.004], jnp.float64)
+        # inject interior + trailing padding rows
+        n = samples.dt.shape[0]
+        dt = jnp.concatenate([samples.dt[:n // 2], jnp.zeros(3, jnp.float64),
+                              samples.dt[n // 2:], jnp.zeros(4, jnp.float64)])
+        acc = jnp.concatenate([samples.acc[:n // 2], jnp.full((3, 3), 7.0, jnp.float64),
+                               samples.acc[n // 2:], jnp.full((4, 3), -3.0, jnp.float64)])
+        gyr = jnp.concatenate([samples.gyr[:n // 2], jnp.full((3, 3), 5.0, jnp.float64),
+                               samples.gyr[n // 2:], jnp.full((4, 3), 2.0, jnp.float64)])
+        padded = PI.ImuSamples(acc0=samples.acc0, gyr0=samples.gyr0, dt=dt, acc=acc, gyr=gyr)
+
+        a = PI.integrate(padded, ba, bg, noise18)
+        b = PI.integrate_sequential(padded, ba, bg, noise18)
+        np.testing.assert_allclose(np.asarray(a.delta_p), np.asarray(b.delta_p), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.delta_q), np.asarray(b.delta_q), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.delta_v), np.asarray(b.delta_v), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a.jacobian), np.asarray(b.jacobian), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(a.covariance), np.asarray(b.covariance),
+                                   rtol=1e-9, atol=1e-18)
+        np.testing.assert_allclose(float(a.sum_dt), float(b.sum_dt), atol=1e-14)
+
+    def test_apply_deltas_matches_world_propagation(self, pim):
+        """apply_deltas == the sequential world-frame midpoint propagation
+        (Estimator.cc:387-394)."""
+        from lio_mapping_tpu.models.estimator import propagate_world
+
+        traj, samples, pre, noise18 = pim
+        q0, p0, v0 = gt_state(traj, 0.3)
+        g = jnp.asarray([0.0, 0.0, -G])
+        z = jnp.zeros(3, jnp.float64)
+        q_a, p_a, v_a = PI.apply_deltas(pre, q0, p0, v0, g)
+        q_b, p_b, v_b = propagate_world(q0, p0, v0, z, z, g, samples)
+        assert abs(float(jnp.dot(q_a, q_b))) > 1 - 1e-12
+        # 1e-7-level agreement: propagate_world rotates un_acc_1 by the
+        # normalized quaternion while the preintegration (like the
+        # reference, IntegrationBase.h:137-141) uses the pre-normalization
+        # product — a per-step |dq|-1 ~ theta^2/8 difference, far below the
+        # midpoint scheme's own truncation error.
+        np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v_a), np.asarray(v_b), atol=1e-6)
+
     def test_covariance_psd_and_growing(self, pim):
         _, _, pre, _ = pim
         cov = np.asarray(pre.covariance)
