@@ -109,87 +109,118 @@ def _curvature(xyz: jnp.ndarray, ncr: int) -> jnp.ndarray:
     return jnp.sum(acc * acc, axis=-1)
 
 
-def _nms_update(mask: jnp.ndarray, adj_big: jnp.ndarray, i: jnp.ndarray, ncr: int) -> jnp.ndarray:
-    """MaskPickedInRing (PointProcessor.cc:624-645) at dynamic index i.
+def _nms_masks_batched(i: jnp.ndarray, ok: jnp.ndarray, adj_big: jnp.ndarray,
+                       ncr: int) -> jnp.ndarray:
+    """Vectorized MaskPickedInRing (PointProcessor.cc:624-645) for one pick
+    per (ring, subregion): picks ``i`` (R, NS) gated by ``ok`` (R, NS) over
+    per-ring gap flags ``adj_big`` (R, P). Returns the (R, P) union of the
+    newly-masked positions (each pick + its <=ncr-neighbor runs, stopping at
+    the first >0.05 m^2 gap)."""
+    r, p = adj_big.shape
+    idx = jnp.arange(p)
+    pmax = p - 1
 
-    adj_big[j] = |p[j+1]-p[j]|^2 > 0.05. Forward run stops at the first big
-    gap between consecutive neighbors; likewise backward.
-    """
-    mask = mask.at[i].set(True)
-    ok_f = jnp.asarray(True)
-    ok_b = jnp.asarray(True)
+    def at(pos):  # gather adj_big at per-(ring, subregion) positions
+        return jnp.take_along_axis(adj_big, jnp.clip(pos, 0, pmax), axis=1)
+
+    oh = (idx[None, None, :] == i[..., None]) & ok[..., None]   # (R, NS, P)
+    new = jnp.any(oh, axis=1)
+    ok_f = ok
+    ok_b = ok
     for k in range(1, ncr + 1):
-        # forward: point i+k allowed if gap (i+k-1, i+k) small
-        ok_f = ok_f & ~adj_big[jnp.clip(i + k - 1, 0, adj_big.shape[0] - 1)]
-        mask = mask.at[jnp.clip(i + k, 0, mask.shape[0] - 1)].set(
-            mask[jnp.clip(i + k, 0, mask.shape[0] - 1)] | ok_f)
-        # backward: point i-k allowed if gap (i-k, i-k+1) small
-        ok_b = ok_b & ~adj_big[jnp.clip(i - k, 0, adj_big.shape[0] - 1)]
-        mask = mask.at[jnp.clip(i - k, 0, mask.shape[0] - 1)].set(
-            mask[jnp.clip(i - k, 0, mask.shape[0] - 1)] | ok_b)
-    return mask
+        ok_f = ok_f & ~at(i + k - 1)
+        pos_f = jnp.clip(i + k, 0, pmax)
+        new = new | jnp.any(
+            (idx[None, None, :] == pos_f[..., None]) & ok_f[..., None], axis=1)
+        ok_b = ok_b & ~at(i - k)
+        pos_b = jnp.clip(i - k, 0, pmax)
+        new = new | jnp.any(
+            (idx[None, None, :] == pos_b[..., None]) & ok_b[..., None], axis=1)
+    return new
 
 
-def _extract_ring(
-    xyz: jnp.ndarray,
-    rc_mask: jnp.ndarray,
-    count: jnp.ndarray,
+def _extract_labels(
+    xyz: jnp.ndarray,      # (R, P, 3)
+    rc_mask: jnp.ndarray,  # (R, P)
+    count: jnp.ndarray,    # (R,)
     cfg: FeatureConfig,
 ):
-    """Per-ring label assignment. Returns labels (P,) int32."""
-    p = xyz.shape[0]
+    """Label assignment for the whole sweep. Returns (labels, in_region),
+    both (R, P).
+
+    TPU restructuring of the reference's per-(ring, subregion) greedy pick
+    loops: all rings AND all subregions pick concurrently, so the serial
+    depth is the pick budget (24) instead of subregions x budget (192).
+    Within a subregion the greedy order is exactly the reference's; the only
+    behavioral delta is NMS spill across subregion boundaries (+-ncr points),
+    which in the reference lands before the next subregion starts and here
+    lands one pick-step later."""
+    r, p = rc_mask.shape
     ncr = cfg.num_curvature_regions
     ns = cfg.num_scan_subregions
     idx = jnp.arange(p)
 
-    ring_long_enough = count > 2 * ncr + 1
+    ring_long_enough = count > 2 * ncr + 1                       # (R,)
 
-    picked = _occlusion_mask(xyz, count, ncr)
-    curv = _curvature(xyz, ncr)
-    adj_big = jnp.sum((_shift(xyz, 1) - xyz) ** 2, axis=-1) > 0.05
+    picked = jax.vmap(lambda x, c: _occlusion_mask(x, c, ncr))(xyz, count)
+    curv = jax.vmap(lambda x: _curvature(x, ncr))(xyz)           # (R, P)
+    # gap to the next point; the last entry compares against zero-fill and
+    # reads as a big gap, stopping NMS runs at the ring end (as in _shift)
+    adj_big = jnp.sum((jnp.roll(xyz, -1, axis=1) - xyz) ** 2, axis=-1)
+    adj_big = adj_big.at[:, -1].set(jnp.sum(xyz[:, -1] ** 2, axis=-1)) > 0.05
 
-    labels = jnp.zeros(p, dtype=jnp.int32)  # SURFACE_LESS_FLAT default
-    in_any_region = jnp.zeros(p, dtype=bool)
+    # subregion bounds (PointProcessor.cc:672-675), (R, NS)
+    j = jnp.arange(ns)
+    n = count[:, None]
+    sp = (ncr * (ns - j) + (n - ncr) * j) // ns
+    ep = (ncr * (ns - 1 - j) + (n - ncr) * (j + 1)) // ns - 1
+    region_ok = (ep > sp) & ring_long_enough[:, None]
+    in_region = (
+        (idx[None, None, :] >= sp[..., None])
+        & (idx[None, None, :] <= ep[..., None])
+        & region_ok[..., None]
+        & rc_mask[:, None, :]
+    )                                                            # (R, NS, P)
+    in_any_region = jnp.any(in_region, axis=1)
 
-    n = count
-    for j in range(ns):
-        # subregion bounds (PointProcessor.cc:672-675)
-        sp = (ncr * (ns - j) + (n - ncr) * j) // ns
-        ep = (ncr * (ns - 1 - j) + (n - ncr) * (j + 1)) // ns - 1
-        region_ok = (ep > sp) & ring_long_enough
-        in_region = (idx >= sp) & (idx <= ep) & region_ok & rc_mask
-        in_any_region = in_any_region | in_region
+    labels = jnp.zeros((r, p), dtype=jnp.int32)  # SURFACE_LESS_FLAT default
 
-        # ---- corner picks: descending curvature, curv > th ----
-        def corner_step(state, k):
-            labels, picked, n_picked = state
-            cand = in_region & ~picked & (curv > cfg.surf_curv_th)
-            val = jnp.where(cand, curv, -jnp.inf)
-            i = jnp.argmax(val)
-            ok = val[i] > -jnp.inf
-            new_label = jnp.where(n_picked < cfg.max_corner_sharp, _CORNER_SHARP, _CORNER_LESS_SHARP)
-            labels = jnp.where(ok, labels.at[i].set(new_label), labels)
-            picked = jnp.where(ok, _nms_update(picked, adj_big, i, ncr), picked)
-            n_picked = n_picked + ok.astype(jnp.int32)
-            return (labels, picked, n_picked), None
+    # ---- corner picks: descending curvature, curv > th ----
+    def corner_step(state, _):
+        labels, picked, n_picked = state
+        cand = in_region & ~picked[:, None, :] & (curv > cfg.surf_curv_th)[:, None, :]
+        val = jnp.where(cand, curv[:, None, :], -jnp.inf)        # (R, NS, P)
+        i = jnp.argmax(val, axis=-1)                             # (R, NS)
+        ok = jnp.max(val, axis=-1) > -jnp.inf
+        new_label = jnp.where(
+            n_picked < cfg.max_corner_sharp, _CORNER_SHARP, _CORNER_LESS_SHARP)
+        oh = (idx[None, None, :] == i[..., None]) & ok[..., None]
+        contrib = jnp.max(
+            jnp.where(oh, new_label[..., None], jnp.int32(0)), axis=1
+        ).astype(jnp.int32)
+        labels = jnp.where(jnp.any(oh, axis=1), contrib, labels)
+        picked = picked | _nms_masks_batched(i, ok, adj_big, ncr)
+        n_picked = n_picked + ok.astype(jnp.int32)
+        return (labels, picked, n_picked), None
 
-        (labels, picked, _), _ = jax.lax.scan(
-            corner_step, (labels, picked, jnp.asarray(0, jnp.int32)),
-            jnp.arange(cfg.max_corner_less_sharp))
+    (labels, picked, _), _ = jax.lax.scan(
+        corner_step, (labels, picked, jnp.zeros((r, ns), jnp.int32)),
+        None, length=cfg.max_corner_less_sharp)
 
-        # ---- flat picks: ascending curvature, curv < th ----
-        def flat_step(state, k):
-            labels, picked = state
-            cand = in_region & ~picked & (curv < cfg.surf_curv_th)
-            val = jnp.where(cand, curv, jnp.inf)
-            i = jnp.argmin(val)
-            ok = val[i] < jnp.inf
-            labels = jnp.where(ok, labels.at[i].set(_SURFACE_FLAT), labels)
-            picked = jnp.where(ok, _nms_update(picked, adj_big, i, ncr), picked)
-            return (labels, picked), None
+    # ---- flat picks: ascending curvature, curv < th ----
+    def flat_step(state, _):
+        labels, picked = state
+        cand = in_region & ~picked[:, None, :] & (curv < cfg.surf_curv_th)[:, None, :]
+        val = jnp.where(cand, curv[:, None, :], jnp.inf)
+        i = jnp.argmin(val, axis=-1)
+        ok = jnp.min(val, axis=-1) < jnp.inf
+        oh = (idx[None, None, :] == i[..., None]) & ok[..., None]
+        labels = jnp.where(jnp.any(oh, axis=1), jnp.int32(_SURFACE_FLAT), labels)
+        picked = picked | _nms_masks_batched(i, ok, adj_big, ncr)
+        return (labels, picked), None
 
-        (labels, picked), _ = jax.lax.scan(
-            flat_step, (labels, picked), jnp.arange(cfg.max_surf_flat))
+    (labels, picked), _ = jax.lax.scan(
+        flat_step, (labels, picked), None, length=cfg.max_surf_flat)
 
     return labels, in_any_region
 
@@ -203,8 +234,7 @@ def extract_features(
     """Full-sweep feature extraction (ExtractFeaturePoints)."""
     r, p = rc.mask.shape
 
-    labels, in_region = jax.vmap(lambda x, m, c: _extract_ring(x, m, c, cfg))(
-        rc.xyz, rc.mask, rc.count)
+    labels, in_region = _extract_labels(rc.xyz, rc.mask, rc.count, cfg)
 
     ring_ids = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[:, None], (r, p))
     flat = Cloud(

@@ -318,6 +318,87 @@ def integrate(samples: ImuSamples, ba, bg, noise18) -> Preintegration:
     )
 
 
+def noise_matrix_euler(acc_n: float, gyr_n: float, acc_w: float, gyr_w: float,
+                       dtype=jnp.float32):
+    """12x12 noise diag for the Euler scheme (IntegrationBase.h:260-265)."""
+    d = jnp.asarray(
+        [acc_n**2] * 3 + [gyr_n**2] * 3 + [acc_w**2] * 3 + [gyr_w**2] * 3,
+        dtype=dtype)
+    return jnp.diag(d)
+
+
+def euler_step(state: Preintegration, dt, acc1, gyr1, noise12):
+    """One first-order Euler integration step — the reference's alternative
+    scheme (IntegrationBase.h:211-276): endpoint-sample integration with
+    continuous-time A (15x15) / U (15x12) discretized as F = I + dt A,
+    V = dt U. Kept for scheme-parity; the main path uses ``midpoint_step``.
+
+    Matches the reference quirk of NOT normalizing the accumulated
+    quaternion per step (the midpoint scheme does)."""
+    dtype = state.delta_p.dtype
+    ba = state.linearized_ba
+    bg = state.linearized_bg
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    a_b = acc1 - ba
+    acc_r = quat.rotate(state.delta_q, a_b)
+    dp_new = state.delta_p + state.delta_v * dt + 0.5 * acc_r * dt * dt
+    dv_new = state.delta_v + acc_r * dt
+    omg = (gyr1 - bg) * dt / 2
+    # unnormalized first-order quaternion increment (1, omg), [w,x,y,z]
+    dr = jnp.concatenate([jnp.ones((1,), dtype), omg])
+    dq_new = quat.qmul(state.delta_q, dr)
+
+    r_w_x = quat.skew(gyr1 - bg)
+    r_a_x = quat.skew(a_b)
+    rot = quat.to_matrix(state.delta_q)
+
+    a = jnp.zeros((15, 15), dtype)
+    a = a.at[O_P:O_P + 3, O_R:O_R + 3].set(-0.5 * rot @ r_a_x * dt)
+    a = a.at[O_P:O_P + 3, O_V:O_V + 3].set(eye3)
+    a = a.at[O_P:O_P + 3, O_BA:O_BA + 3].set(-0.5 * rot * dt)
+    a = a.at[O_R:O_R + 3, O_R:O_R + 3].set(-r_w_x)
+    a = a.at[O_R:O_R + 3, O_BG:O_BG + 3].set(-eye3)
+    a = a.at[O_V:O_V + 3, O_R:O_R + 3].set(-rot @ r_a_x)
+    a = a.at[O_V:O_V + 3, O_BA:O_BA + 3].set(-rot)
+
+    u = jnp.zeros((15, 12), dtype)
+    u = u.at[O_P:O_P + 3, 0:3].set(0.5 * rot * dt)
+    u = u.at[O_R:O_R + 3, 3:6].set(eye3)
+    u = u.at[O_V:O_V + 3, 0:3].set(rot)
+    u = u.at[O_BA:O_BA + 3, 6:9].set(eye3)
+    u = u.at[O_BG:O_BG + 3, 9:12].set(eye3)
+
+    f = jnp.eye(15, dtype=dtype) + dt * a
+    v = dt * u
+    return Preintegration(
+        delta_p=dp_new,
+        delta_q=dq_new,
+        delta_v=dv_new,
+        jacobian=f @ state.jacobian,
+        covariance=f @ state.covariance @ f.T + v @ noise12 @ v.T,
+        sum_dt=state.sum_dt + dt,
+        linearized_ba=ba,
+        linearized_bg=bg,
+    )
+
+
+@jax.jit
+def integrate_euler(samples: ImuSamples, ba, bg, noise12) -> Preintegration:
+    """Full-buffer first-order Euler integration (alternative scheme).
+
+    dt=0 padding rows are exact no-ops here too (F = I, V = 0)."""
+    dtype = samples.acc.dtype
+    init = Preintegration.identity(dtype)._replace(linearized_ba=ba, linearized_bg=bg)
+
+    def step(state, x):
+        dt, acc1, gyr1 = x
+        return euler_step(state, dt, acc1, gyr1, noise12), None
+
+    final, _ = jax.lax.scan(step, init, (samples.dt, samples.acc, samples.gyr))
+    return final._replace(delta_q=quat.normalize(final.delta_q))
+
+
 def apply_deltas(pre: Preintegration, q0, p0, v0, g_vec):
     """World-state propagation from the preintegrated deltas.
 

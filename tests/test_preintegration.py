@@ -149,6 +149,30 @@ class TestMidpointIntegration:
         np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b), atol=1e-6)
         np.testing.assert_allclose(np.asarray(v_a), np.asarray(v_b), atol=1e-6)
 
+    def test_euler_scheme_agrees_with_midpoint(self, pim):
+        """The alternative first-order Euler scheme (IntegrationBase.h:211-276)
+        agrees with the midpoint scheme to first order on a smooth
+        trajectory, with a PSD covariance of the same magnitude."""
+        traj, samples, pre_mid, _ = pim
+        ba = jnp.zeros(3, jnp.float64)
+        bg = jnp.zeros(3, jnp.float64)
+        noise12 = PI.noise_matrix_euler(0.2, 0.02, 2e-4, 2e-5, jnp.float64)
+        pre_eu = PI.integrate_euler(samples, ba, bg, noise12)
+
+        assert abs(float(jnp.dot(pre_eu.delta_q, pre_mid.delta_q))) > 1 - 1e-6
+        np.testing.assert_allclose(
+            np.asarray(pre_eu.delta_p), np.asarray(pre_mid.delta_p), atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(pre_eu.delta_v), np.asarray(pre_mid.delta_v), atol=5e-2)
+        np.testing.assert_allclose(
+            float(pre_eu.sum_dt), float(pre_mid.sum_dt), atol=1e-14)
+        cov = np.asarray(pre_eu.covariance)
+        w = np.linalg.eigvalsh(0.5 * (cov + cov.T))
+        assert w.min() > -1e-16
+        # same order of magnitude as the midpoint covariance
+        ratio = np.trace(cov) / np.trace(np.asarray(pre_mid.covariance))
+        assert 0.1 < ratio < 10.0
+
     def test_covariance_psd_and_growing(self, pim):
         _, _, pre, _ = pim
         cov = np.asarray(pre.covariance)

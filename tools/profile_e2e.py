@@ -44,7 +44,7 @@ def main():
 
     feats = jax.jit(lambda x, m: process_sweep(x, m, cfg))(
         jnp.asarray(xyz), jnp.asarray(mask))
-    cap = 64
+    cap = cfg.estimator.imu.max_imu_per_frame
     samples = PI.ImuSamples(
         acc0=jnp.asarray([0.0, 0.0, 9.805], jnp.float32),
         gyr0=jnp.zeros(3, jnp.float32),

@@ -7,7 +7,10 @@ directionally correct for optimization targeting.
 """
 
 import dataclasses
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
