@@ -31,6 +31,11 @@ class SensorConfig:
     upper_bound_deg: float = 15.0
     max_points_per_ring: int = 2048
     scan_period: float = 0.1
+    # start-azimuth inference across sweeps (PointProcessor.cc:348-389;
+    # `infer_start_ori` ROS param, off by default; `rad_diff` launch param,
+    # 0.2 outdoor / 1.0 indoor, processor_node.cc:63)
+    infer_start_ori: bool = False
+    rad_diff: float = 0.2
 
     @property
     def ring_factor(self) -> float:
@@ -159,6 +164,11 @@ class EstimatorConfig:
     cutoff_deskew: bool = False
     keep_features: bool = True
     msg_time_delay: float = 0.05
+    # compile-time variants of the reference (Estimator.h:55-56): corner
+    # features in the local map + factors, and frozen linearization points
+    # for the local-map build
+    use_corner: bool = False
+    fix_map: bool = False
 
     imu: ImuConfig = field(default_factory=ImuConfig)
 
@@ -173,7 +183,14 @@ class EstimatorConfig:
     corner_stack_cap: int = 2048
     local_map_cap: int = 49152        # merged local map before filtering
     local_map_filtered_cap: int = 24576
+    local_map_corner_cap: int = 12288  # filtered corner local map (use_corner)
     features_per_frame_cap: int = 4096
+
+    @property
+    def corner_state_cap(self) -> int:
+        """Window corner-stack capacity: collapsed to 1 when corners are
+        disabled so the state pytree carries no dead weight."""
+        return self.corner_stack_cap if self.use_corner else 1
 
     @property
     def pivot_idx(self) -> int:

@@ -46,7 +46,7 @@ from ..ops import preintegration as PI
 from ..ops import solver as SV
 from ..ops import voxel as VX
 from ..ops.cloud import Cloud, compact_cloud
-from ..ops.fits import plane_fit
+from ..ops.fits import line_fit, plane_fit, point_to_line_residual
 from ..utils import quaternion as quat
 from ..utils.se3 import Pose
 
@@ -63,6 +63,13 @@ class EstimatorState(NamedTuple):
     imu: PI.ImuSamples       # batched (W1, M) raw buffers (for repropagation)
     surf_xyz: jnp.ndarray    # (W1, C, 3) deskewed stacks, own laser frame
     surf_mask: jnp.ndarray   # (W1, C)
+    corner_xyz: jnp.ndarray  # (W1, Cc, 3) corner stacks (Cc=1 unless use_corner)
+    corner_mask: jnp.ndarray # (W1, Cc)
+    # frozen linearization poses for the FIX_MAP variant (Estimator.h:205;
+    # mirrors Ps_linearized_/Rs_linearized_). Kept in sync with qs/ps when
+    # fix_map is off.
+    qs_lin: jnp.ndarray      # (W1, 4)
+    ps_lin: jnp.ndarray      # (W1, 3)
     prior: MG.PriorState
     g_vec: jnp.ndarray   # (3,)
     q_lb: jnp.ndarray    # (4,) laser->body extrinsic
@@ -92,6 +99,10 @@ def init_state(cfg: LioConfig, dtype=jnp.float32) -> EstimatorState:
             PI.ImuSamples.empty(m, dtype)),
         surf_xyz=jnp.zeros((w1, c, 3), dtype),
         surf_mask=jnp.zeros((w1, c), bool),
+        corner_xyz=jnp.zeros((w1, e.corner_state_cap, 3), dtype),
+        corner_mask=jnp.zeros((w1, e.corner_state_cap), bool),
+        qs_lin=eye_q,
+        ps_lin=jnp.zeros((w1, 3), dtype),
         prior=MG.PriorState.empty(e.opt_window_size, dtype),
         g_vec=jnp.asarray([0.0, 0.0, -e.imu.g_norm], dtype),
         q_lb=q_lb.astype(dtype),
@@ -144,6 +155,16 @@ def laser_pose(q_b, p_b, q_lb, t_lb) -> Pose:
     return Pose(q_l, p_l)
 
 
+def _fov_ok(point_sel, local_q, local_t):
+    """±60° FOV cone check in the pivot frame (Estimator.cc:1063-1086)."""
+    z_axis = quat.rotate(local_q, jnp.asarray([0.0, 0.0, 10.0], point_sel.dtype)) + local_t
+    sq1 = jnp.sum((point_sel - local_t[None, :]) ** 2, axis=-1)
+    sq2 = jnp.sum((point_sel - z_axis[None, :]) ** 2, axis=-1)
+    check1 = 100.0 + sq1 - sq2 - 10.0 * jnp.sqrt(3.0) * jnp.sqrt(sq1)
+    check2 = 100.0 + sq1 - sq2 + 10.0 * jnp.sqrt(3.0) * jnp.sqrt(sq1)
+    return (check1 < 0) & (check2 > 0)
+
+
 def _calculate_features(
     map_xyz, map_mask,          # local map (pivot frame)
     stack_xyz, stack_mask,      # frame stack (own laser frame)
@@ -168,41 +189,92 @@ def _calculate_features(
     rng = jnp.sqrt(jnp.maximum(jnp.linalg.norm(point_sel, axis=-1), 1e-12))
     s = 1.0 - 0.9 * jnp.abs(pd2) / rng
 
-    # FOV cone check (Estimator.cc:1063-1086)
-    z_axis = quat.rotate(local_q, jnp.asarray([0.0, 0.0, 10.0], point_sel.dtype)) + local_t
-    sq1 = jnp.sum((point_sel - local_t[None, :]) ** 2, axis=-1)
-    sq2 = jnp.sum((point_sel - z_axis[None, :]) ** 2, axis=-1)
-    check1 = 100.0 + sq1 - sq2 - 10.0 * jnp.sqrt(3.0) * jnp.sqrt(sq1)
-    check2 = 100.0 + sq1 - sq2 + 10.0 * jnp.sqrt(3.0) * jnp.sqrt(sq1)
-    in_fov = (check1 < 0) & (check2 > 0)
+    in_fov = _fov_ok(point_sel, local_q, local_t)
 
     ok = stack_mask & nn_ok & plane_ok & (s > 0.1) & in_fov
     coeff = jnp.concatenate([s[:, None] * w, (s * d)[:, None]], axis=-1)
     return coeff, s, ok
 
 
-def _calculate_laser_odom(
+def _calculate_corner_features(
     map_xyz, map_mask, stack_xyz, stack_mask, local_q, local_t, cfg: LioConfig,
 ):
+    """Corner association for the USE_CORNER variant
+    (Estimator.cc:1099-1232): 5-NN line fit (accept when l_max > 3 l_mid),
+    then the point-to-line constraint is decomposed into TWO half-weighted
+    plane-style features: one along the normal to the line through the
+    point (carries the distance residual), one along
+    ``(X1-X2) x normal`` (un-normalized, |.| = 0.2 — kept exactly as the
+    reference) which pins the point's projection onto the line's second
+    perpendicular direction.
+
+    Returns (coeff1 (C,4), coeff2 (C,4), s (C,), ok (C,)).
+    """
+    e = cfg.estimator
+    point_sel = quat.rotate(local_q[None, :], stack_xyz) + local_t[None, :]
+
+    sq_d, idx = KNN.knn(point_sel, stack_mask, map_xyz, map_mask, k=5)
+    nn_ok = sq_d[:, 4] < e.min_match_sq_dis
+
+    centroid, direction, line_ok = line_fit(map_xyz[idx], nn_ok)
+    ld2, n = point_to_line_residual(point_sel, centroid, direction)
+    # (X1 - X2) x normal_to_point with X1/2 = c ± 0.1 u (Estimator.cc:1160)
+    ncp = jnp.cross(0.2 * direction, n)
+
+    point_proj = point_sel - n * ld2[:, None]
+    ld_p1 = -jnp.sum(n * point_proj, axis=-1)
+    ld_p2 = -jnp.sum(ncp * point_proj, axis=-1)
+
+    s = 1.0 - 0.9 * jnp.abs(ld2)
+    in_fov = _fov_ok(point_sel, local_q, local_t)
+    ok = stack_mask & nn_ok & line_ok & (s > 0.1) & in_fov
+
+    # score and coeffs carry an extra 0.5 (Estimator.cc:1216-1228)
+    coeff1 = 0.5 * jnp.concatenate([s[:, None] * n, (s * ld_p1)[:, None]], axis=-1)
+    coeff2 = 0.5 * jnp.concatenate([s[:, None] * ncp, (s * ld_p2)[:, None]], axis=-1)
+    return coeff1, coeff2, s, ok
+
+
+def _associate_frame(maps, stacks, local_q, local_t, cfg: LioConfig):
+    """All feature rows for one frame against the local map(s).
+
+    ``maps`` = (surf_xyz, surf_mask[, corner_xyz, corner_mask]);
+    ``stacks`` likewise for the frame's own stacks. Returns
+    (points (F,3), coeff (F,4), ok (F,)) with F = C_surf (+ 2*C_corner):
+    corner points contribute two rows each (Estimator.cc:1216-1228), and
+    the factor form downstream is identical for all rows.
+    """
+    coeff_s, _, ok_s = _calculate_features(
+        maps[0], maps[1], stacks[0], stacks[1], local_q, local_t, cfg)
+    if not cfg.estimator.use_corner:
+        return stacks[0], coeff_s, ok_s
+    c1, c2, _, ok_c = _calculate_corner_features(
+        maps[2], maps[3], stacks[2], stacks[3], local_q, local_t, cfg)
+    pts = jnp.concatenate([stacks[0], stacks[2], stacks[2]], axis=0)
+    coeff = jnp.concatenate([coeff_s, c1, c2], axis=0)
+    ok = jnp.concatenate([ok_s, ok_c, ok_c], axis=0)
+    return pts, coeff, ok
+
+
+def _calculate_laser_odom(maps, stacks, local_q, local_t, cfg: LioConfig):
     """Mini scan-to-local-map GN for the newest frame
     (CalculateLaserOdom, Estimator.cc:1242-1359). Returns refined local pose
-    + final features."""
+    + final features (surf + corner rows when use_corner)."""
     e = cfg.estimator
     dtype = local_t.dtype
     n_iters = 10  # PointMapping default num_max_iterations_
 
     def body(carry):
         it, done, lq, lt, proj, degen = carry
-        coeff, s, ok = _calculate_features(
-            map_xyz, map_mask, stack_xyz, stack_mask, lq, lt, cfg)
+        pts, coeff, ok = _associate_frame(maps, stacks, lq, lt, cfg)
 
         w = coeff[:, :3]
         rot = quat.to_matrix(lq)
         # J_r = -w^T (R [p]_x), J_t = w^T (Estimator.cc:1289-1290)
-        j_r = -jnp.einsum("ni,nij->nj", w, rot @ quat.skew(stack_xyz))
+        j_r = -jnp.einsum("ni,nij->nj", w, rot @ quat.skew(pts))
         j_t = w
         jac = jnp.concatenate([j_r, j_t], axis=1)
-        d2 = jnp.sum(w * (quat.rotate(lq[None, :], stack_xyz) + lt[None, :]), axis=-1) + coeff[:, 3]
+        d2 = jnp.sum(w * (quat.rotate(lq[None, :], pts) + lt[None, :]), axis=-1) + coeff[:, 3]
         rhs = -d2
         wrow = ok.astype(dtype)
 
@@ -238,8 +310,8 @@ def _calculate_laser_odom(
              jnp.eye(6, dtype=dtype), jnp.asarray(False))
     _, _, lq, lt, _, _ = jax.lax.while_loop(cond, body, carry)
 
-    coeff, s, ok = _calculate_features(map_xyz, map_mask, stack_xyz, stack_mask, lq, lt, cfg)
-    return lq, lt, coeff, s, ok
+    pts, coeff, ok = _associate_frame(maps, stacks, lq, lt, cfg)
+    return lq, lt, pts, coeff, ok
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +325,7 @@ def lio_step(
     surf_cloud: Cloud,          # new sweep's less-flat features (laser frame, skewed)
     samples: PI.ImuSamples,     # IMU over (t_{k-1}, t_k]
     cfg: LioConfig,
+    corner_cloud: Cloud = None,  # less-sharp corners (required iff use_corner)
 ) -> Tuple[EstimatorState, dict]:
     e = cfg.estimator
     s_opt = e.opt_window_size
@@ -283,11 +356,23 @@ def lio_step(
     t_lb_pose = Pose(state.q_lb, state.t_lb)
     es_laser = t_lb_pose @ Pose(q_es_b, t_es_b) @ t_lb_pose.inverse()
 
+    deskew_on = e.enable_deskew and not e.cutoff_deskew
     deskewed = DS.transform_to_end(
         surf_cloud.xyz, surf_cloud.rel_time, es_laser.q, es_laser.t,
-        scan_period, enabled=e.enable_deskew and not e.cutoff_deskew)
+        scan_period, enabled=deskew_on)
     ds_xyz, ds_mask, _ = VX.voxel_downsample(
         deskewed, surf_cloud.mask, e.surf_filter_size, e.surf_stack_cap)
+
+    if e.use_corner:
+        c_deskewed = DS.transform_to_end(
+            corner_cloud.xyz, corner_cloud.rel_time, es_laser.q, es_laser.t,
+            scan_period, enabled=deskew_on)
+        dc_xyz, dc_mask, _ = VX.voxel_downsample(
+            c_deskewed, corner_cloud.mask, e.corner_filter_size,
+            e.corner_stack_cap)
+    else:
+        dc_xyz = jnp.zeros((e.corner_state_cap, 3), dtype)
+        dc_mask = jnp.zeros((e.corner_state_cap,), bool)
 
     # ---- 4. push window ----
     def push(arr, new):
@@ -303,6 +388,11 @@ def lio_step(
         imu=jax.tree.map(push, state.imu, samples),
         surf_xyz=push(state.surf_xyz, ds_xyz),
         surf_mask=push(state.surf_mask, ds_mask),
+        corner_xyz=push(state.corner_xyz, dc_xyz),
+        corner_mask=push(state.corner_mask, dc_mask),
+        # FIX_MAP: the new frame's linearization point is its predicted pose
+        qs_lin=push(state.qs_lin, q_pred),
+        ps_lin=push(state.ps_lin, p_pred),
     )
 
     # ---- 5. local map in pivot laser frame ----
@@ -310,36 +400,73 @@ def lio_step(
     pivot_pose = jax.tree.map(lambda a: a[pivot], lposes)
     rel = jax.vmap(lambda q, p: (pivot_pose.inverse() @ Pose(q, p)))(lposes.q, lposes.t)
 
+    if e.fix_map:
+        # FIX_MAP: the map clouds are accumulated at the FROZEN linearization
+        # poses (Estimator.cc:1398-1412,1492-1497); association transforms
+        # (rel) stay current.
+        lposes_lin = jax.vmap(
+            lambda q, p: laser_pose(q, p, st.q_lb, st.t_lb))(st.qs_lin, st.ps_lin)
+        pivot_lin = jax.tree.map(lambda a: a[pivot], lposes_lin)
+        rel_map = jax.vmap(
+            lambda q, p: (pivot_lin.inverse() @ Pose(q, p)))(lposes_lin.q, lposes_lin.t)
+    else:
+        rel_map = rel
+
     # all frames except the newest build the map
     def to_pivot(i_xyz, i_mask, rq, rt):
         return quat.rotate(rq[None, :], i_xyz) + rt[None, :], i_mask
 
-    map_pts, map_msk = jax.vmap(to_pivot)(st.surf_xyz, st.surf_mask, rel.q, rel.t)
+    map_pts, map_msk = jax.vmap(to_pivot)(st.surf_xyz, st.surf_mask, rel_map.q, rel_map.t)
     map_pts = map_pts[:w].reshape(-1, 3)
     map_msk = map_msk[:w].reshape(-1)
     map_xyz, map_mask, _ = VX.voxel_downsample(
         map_pts, map_msk, e.surf_filter_size, e.local_map_filtered_cap)
+    maps = (map_xyz, map_mask)
+
+    if e.use_corner:
+        cmap_pts, cmap_msk = jax.vmap(to_pivot)(
+            st.corner_xyz, st.corner_mask, rel_map.q, rel_map.t)
+        cmap_xyz, cmap_mask, _ = VX.voxel_downsample(
+            cmap_pts[:w].reshape(-1, 3), cmap_msk[:w].reshape(-1),
+            e.corner_filter_size, e.local_map_corner_cap)
+        maps = maps + (cmap_xyz, cmap_mask)
+
+    def frame_stacks(i):
+        if e.use_corner:
+            return (st.surf_xyz[i], st.surf_mask[i],
+                    st.corner_xyz[i], st.corner_mask[i])
+        return (st.surf_xyz[i], st.surf_mask[i])
 
     # ---- features for frames pivot+1 .. window-1 ----
-    f_cap = e.surf_stack_cap
+    feat_pts = []
     feat_coeff = []
     feat_ok = []
     for i in range(pivot + 1, w):
-        coeff_i, s_i, ok_i = _calculate_features(
-            map_xyz, map_mask, st.surf_xyz[i], st.surf_mask[i],
-            rel.q[i], rel.t[i], cfg)
+        pts_i, coeff_i, ok_i = _associate_frame(
+            maps, frame_stacks(i), rel.q[i], rel.t[i], cfg)
+        feat_pts.append(pts_i)
         feat_coeff.append(coeff_i)
         feat_ok.append(ok_i)
 
-    # ---- newest frame: mini GN against the local map ----
-    lq_new, lt_new, coeff_n, s_n, ok_n = _calculate_laser_odom(
-        map_xyz, map_mask, st.surf_xyz[w], st.surf_mask[w],
-        rel.q[w], rel.t[w], cfg)
+    # ---- newest frame ----
+    # With the IMU factor on (every shipped reference config), the newest
+    # frame is associated at its IMU-predicted pose exactly like the other
+    # frames (Estimator.cc:1560-1570: CalculateLaserOdom only runs when
+    # `idx == window_size && !imu_factor`); the mini scan-to-local-map GN is
+    # the LiDAR-only fallback. Gating it also removes ~10 serial
+    # KNN+fit association rounds from the per-sweep hot path.
+    if e.imu_factor:
+        pts_n, coeff_n, ok_n = _associate_frame(
+            maps, frame_stacks(w), rel.q[w], rel.t[w], cfg)
+    else:
+        _, _, pts_n, coeff_n, ok_n = _calculate_laser_odom(
+            maps, frame_stacks(w), rel.q[w], rel.t[w], cfg)
+    feat_pts.append(pts_n)
     feat_coeff.append(coeff_n)
     feat_ok.append(ok_n)
 
     planes = SV.PlaneFactors(
-        point=st.surf_xyz[pivot + 1:w + 1],
+        point=jnp.stack(feat_pts),
         coeff=jnp.stack(feat_coeff),
         mask=jnp.stack(feat_ok),
     )
@@ -419,8 +546,18 @@ def lio_step(
         lambda new, old: jnp.where(do_marg, new, old),
         new_prior, st.prior._replace(valid=prior_in.valid))
 
+    if e.fix_map:
+        # SlideWindow refreshes only the NEWEST frame's linearization point
+        # to its post-solve pose (Estimator.cc:2637-2643); older ones stay
+        # frozen at the pose they had when they were newest.
+        qs_lin_new = st.qs_lin.at[w].set(qs_new[w])
+        ps_lin_new = st.ps_lin.at[w].set(ps_new[w])
+    else:
+        qs_lin_new, ps_lin_new = qs_new, ps_new
+
     st = st._replace(
         qs=qs_new, ps=ps_new, vs=vs_new, bas=bas_new, bgs=bgs_new,
+        qs_lin=qs_lin_new, ps_lin=ps_lin_new,
         prior=prior_out,
         q_lb=x_opt.ex_q, t_lb=x_opt.ex_p,
         convergence_flag=convergence_flag,

@@ -34,7 +34,7 @@ from . import estimator as EST
 from . import initializer as INIT
 from . import mapping as MAP
 from . import odometry as ODO
-from .point_processor import process_sweep
+from .point_processor import StartOriTracker, process_sweep, raw_start_ori
 
 
 class LioPipeline:
@@ -55,6 +55,9 @@ class LioPipeline:
 
         self._odo_step = jax.jit(
             lambda s, f, en: ODO.odometry_step(s, f, cfg, en))
+        self._start_ori_tracker = (
+            StartOriTracker(cfg.sensor.rad_diff)
+            if cfg.sensor.infer_start_ori else None)
         e = cfg.estimator
         self._noise18 = PI.noise_matrix(
             e.imu.acc_n, e.imu.gyr_n, e.imu.acc_w, e.imu.gyr_w, dtype)
@@ -81,7 +84,13 @@ class LioPipeline:
                 samples: Optional[PI.ImuSamples]) -> dict:
         """Process one sweep (+ its IMU interval). Returns pose outputs."""
         cfg = self.cfg
-        feats = process_sweep(jnp.asarray(xyz, self.dtype), jnp.asarray(mask), cfg)
+        start_ori = None
+        if self._start_ori_tracker is not None:
+            start_ori = jnp.asarray(
+                self._start_ori_tracker.update(raw_start_ori(xyz, mask)),
+                self.dtype)
+        feats = process_sweep(
+            jnp.asarray(xyz, self.dtype), jnp.asarray(mask), cfg, start_ori)
         self.frame_count += 1
 
         # once INITED with IMU deskew, the scan-to-scan stage is switched
@@ -90,7 +99,8 @@ class LioPipeline:
         deskew_mode = cfg.estimator.enable_deskew or cfg.estimator.cutoff_deskew
         if self.stage == "INITED" and deskew_mode:
             self.est_state, out = EST.lio_step(
-                self.est_state, feats.surf_less_flat, samples, cfg)
+                self.est_state, feats.surf_less_flat, samples, cfg,
+                feats.corner_less_sharp if cfg.estimator.use_corner else None)
             out["stage"] = self.stage
             out["corner_cloud"] = feats.corner_less_sharp
             out["surf_cloud"] = feats.surf_less_flat
@@ -122,7 +132,8 @@ class LioPipeline:
 
         # ---- INITED ----
         self.est_state, out = EST.lio_step(
-            self.est_state, odo_out["surf_cloud"], samples, cfg)
+            self.est_state, odo_out["surf_cloud"], samples, cfg,
+            odo_out["corner_cloud"] if cfg.estimator.use_corner else None)
         out["stage"] = self.stage
         out["corner_cloud"] = odo_out["corner_cloud"]
         out["surf_cloud"] = odo_out["surf_cloud"]
@@ -161,7 +172,15 @@ class LioPipeline:
         ds_xyz, ds_mask, _ = VX.voxel_downsample(
             surf.xyz, surf.mask, cfg.estimator.surf_filter_size,
             cfg.estimator.surf_stack_cap)
-        self._init_stacks.append((ds_xyz, ds_mask))
+        if cfg.estimator.use_corner:
+            corner: Cloud = odo_out["corner_cloud"]
+            dc_xyz, dc_mask, _ = VX.voxel_downsample(
+                corner.xyz, corner.mask, cfg.estimator.corner_filter_size,
+                cfg.estimator.corner_stack_cap)
+        else:
+            dc_xyz = jnp.zeros((cfg.estimator.corner_state_cap, 3), self.dtype)
+            dc_mask = jnp.zeros((cfg.estimator.corner_state_cap,), bool)
+        self._init_stacks.append((ds_xyz, ds_mask, dc_xyz, dc_mask))
 
     def _try_initialize(self) -> bool:
         """EstimateExtrinsicRotation + ImuInitializer + state alignment."""
@@ -260,10 +279,16 @@ class LioPipeline:
 
         stacks_xyz = jnp.stack([s[0] for s in self._init_stacks]).astype(dtype)
         stacks_mask = jnp.stack([s[1] for s in self._init_stacks])
+        c_stacks_xyz = jnp.stack([s[2] for s in self._init_stacks]).astype(dtype)
+        c_stacks_mask = jnp.stack([s[3] for s in self._init_stacks])
 
         self.est_state = self.est_state._replace(
             qs=jnp.asarray(qs_new, dtype),
             ps=jnp.asarray(ps_new, dtype),
+            qs_lin=jnp.asarray(qs_new, dtype),
+            ps_lin=jnp.asarray(ps_new, dtype),
+            corner_xyz=c_stacks_xyz,
+            corner_mask=c_stacks_mask,
             vs=jnp.asarray(vs_new, dtype),
             bas=jnp.zeros((w + 1, 3), dtype),
             bgs=jnp.tile(jnp.asarray(dbg, dtype), (w + 1, 1)),
@@ -299,10 +324,19 @@ class LoamPipeline:
             lambda s, f, en: ODO.odometry_step(s, f, cfg, en))
         self._associate = jax.jit(
             lambda ms, op: (ms.pose @ (ms.pose_bef.inverse() @ op)).normalized())
+        self._start_ori_tracker = (
+            StartOriTracker(cfg.sensor.rad_diff)
+            if cfg.sensor.infer_start_ori else None)
 
     def process(self, xyz: np.ndarray, mask: np.ndarray) -> dict:
         cfg = self.cfg
-        feats = process_sweep(jnp.asarray(xyz, self.dtype), jnp.asarray(mask), cfg)
+        start_ori = None
+        if self._start_ori_tracker is not None:
+            start_ori = jnp.asarray(
+                self._start_ori_tracker.update(raw_start_ori(xyz, mask)),
+                self.dtype)
+        feats = process_sweep(
+            jnp.asarray(xyz, self.dtype), jnp.asarray(mask), cfg, start_ori)
         self.odom_state, odo_out = self._odo_step(
             self.odom_state, feats, jnp.asarray(True))
         self.frame_count += 1

@@ -44,8 +44,25 @@ def rot_of(q):
 
 @pytest.mark.slow
 class TestLioClosedLoop:
-    def test_trajectory(self):
+    # The reference's USE_CORNER / FIX_MAP compile-time variants
+    # (Estimator.h:55-56) as config flags. Both are commented out in the
+    # shipped reference; FIX_MAP builds the local map at frozen
+    # linearization poses (stale by construction), which costs ~1.7x ATE
+    # on this synthetic sequence in isolation (measured 0.14 vs 0.084),
+    # hence its looser bound. USE_CORNER alone matches the default.
+    @pytest.mark.parametrize(
+        "variant,tol",
+        [("default", 0.1), ("corner", 0.1), ("corner_fixmap", 0.2)],
+        ids=["default", "use_corner", "use_corner+fix_map"])
+    def test_trajectory(self, variant, tol):
         cfg = small_cfg()
+        if variant != "default":
+            cfg = dataclasses.replace(
+                cfg,
+                estimator=dataclasses.replace(
+                    cfg.estimator, use_corner=True,
+                    fix_map=(variant == "corner_fixmap"),
+                    corner_stack_cap=1024, local_map_corner_cap=4096))
         traj = synthetic.Trajectory(g_norm=cfg.estimator.imu.g_norm)
         pipe = LioPipeline(cfg, dtype=jnp.float64)
         dt = cfg.sensor.scan_period
@@ -87,10 +104,11 @@ class TestLioClosedLoop:
             tg = r0g.inv().apply(pg - p0g)
             errs.append(np.linalg.norm(te - tg))
         rmse = float(np.sqrt(np.mean(np.square(errs))))
-        assert rmse < 0.1, f"LIO ATE RMSE {rmse:.3f} m, errs={errs}"
+        assert rmse < tol, f"LIO ATE RMSE {rmse:.3f} m, errs={errs}"
 
         # velocity estimate sanity at the last frame
         _, out = results[-1]
         v_est = np.array(out["velocity"])
         _, _, v_gt, _, _ = traj.pose(results[-1][0])
-        assert np.linalg.norm(v_est - v_gt) < 0.3, (v_est, v_gt)
+        # velocity error scales with the variant's pose tolerance
+        assert np.linalg.norm(v_est - v_gt) < 3.0 * tol, (v_est, v_gt)
