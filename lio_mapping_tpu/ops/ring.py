@@ -34,8 +34,13 @@ def project_to_rings(
     upper_bound_deg: float,
     max_points_per_ring: int,
     scan_period: float,
+    start_ori_override=None,
 ) -> RingCloud:
-    """Bin a raw sweep (N,3) into per-ring rows with relative times."""
+    """Bin a raw sweep (N,3) into per-ring rows with relative times.
+
+    ``start_ori_override``: inferred start azimuth from the host-side
+    smoother (PointProcessor.cc:348-389); replaces the observed first-point
+    azimuth in the relative-time computation when given."""
     n = xyz.shape[0]
     dtype = xyz.dtype
 
@@ -56,6 +61,8 @@ def project_to_rings(
     # start_ori: azimuth of first valid point in scan order
     first_idx = jnp.argmax(valid)  # first True (0 if none)
     start_ori = azi[first_idx]
+    if start_ori_override is not None:
+        start_ori = jnp.asarray(start_ori_override, dtype)
 
     azi_rel = azi - start_ori
     azi_rel = jnp.where(azi_rel < 0, azi_rel + 2.0 * jnp.pi, azi_rel)

@@ -192,3 +192,59 @@ class TestFeatures:
                 diff = diff + xyz[i + j] + xyz[i - j]
             want = float(diff @ diff)
             np.testing.assert_allclose(got[i], want, rtol=2e-3)
+
+
+class TestStartOriTracker:
+    """infer_start_ori mode (PointProcessor.cc:348-389)."""
+
+    def _smooth_seq(self, n, start=0.1, step=0.02):
+        return [start + step * i for i in range(n)]
+
+    def test_passthrough_before_buffer_full(self):
+        from lio_mapping_tpu.models.point_processor import StartOriTracker
+
+        tr = StartOriTracker(rad_diff=0.2)
+        for v in self._smooth_seq(9):
+            assert tr.update(v) == v
+
+    def test_outlier_replaced_by_extrapolation(self):
+        from lio_mapping_tpu.models.point_processor import StartOriTracker
+
+        tr = StartOriTracker(rad_diff=0.2)
+        seq = self._smooth_seq(10)
+        for v in seq:
+            tr.update(v)
+        # raw jumps by 1.5 rad; inferred continues at the buffered rate.
+        # the jump also breaks the raw-stream consistency gate, so no reset.
+        out = tr.update(seq[-1] + 1.5)
+        expect = seq[-1] + 0.02
+        assert abs(out - expect) < 1e-9
+
+    def test_consistent_raw_stream_resets(self):
+        from lio_mapping_tpu.models.point_processor import StartOriTracker
+
+        tr = StartOriTracker(rad_diff=0.2)
+        for v in self._smooth_seq(10):
+            tr.update(v)
+        # next raw value follows the same rate -> within rad_diff anyway,
+        # and the consistency gate keeps tracking raw exactly
+        out = tr.update(0.1 + 0.02 * 10)
+        assert out == 0.1 + 0.02 * 10
+
+    def test_override_reaches_rel_time(self, sweep):
+        import jax.numpy as jnp
+
+        from lio_mapping_tpu.config import LioConfig
+        from lio_mapping_tpu.models.point_processor import process_sweep
+
+        xyz, mask = sweep
+        cfg = LioConfig.indoor()
+        f0 = process_sweep(jnp.asarray(xyz, jnp.float32), jnp.asarray(mask), cfg)
+        f1 = process_sweep(jnp.asarray(xyz, jnp.float32), jnp.asarray(mask), cfg,
+                           jnp.asarray(1.234, jnp.float32))
+        m = np.asarray(f1.surf_less_flat.mask)
+        assert m.any()
+        # shifting start_ori changes the recomputed relative times
+        assert not np.allclose(
+            np.asarray(f0.surf_less_flat.rel_time)[m],
+            np.asarray(f1.surf_less_flat.rel_time)[m])
