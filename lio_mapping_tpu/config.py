@@ -36,6 +36,10 @@ class SensorConfig:
     # 0.2 outdoor / 1.0 indoor, processor_node.cc:63)
     infer_start_ori: bool = False
     rad_diff: float = 0.2
+    # unevenly-spaced lasers: ring index comes from the per-point ring
+    # annotation instead of elevation binning (sensor_type 320,
+    # processor_node.cc:72-74)
+    uneven: bool = False
 
     @property
     def ring_factor(self) -> float:
@@ -55,8 +59,14 @@ class SensorConfig:
         return SensorConfig(64, -24.9, 2.0, 2304, 0.1)
 
     @staticmethod
+    def rs32_uneven() -> "SensorConfig":
+        """sensor_type 320: ring-annotated 32-laser rig (processor_node.cc:72-74)."""
+        return SensorConfig(32, -25.0, 15.0, 2304, 0.1, uneven=True)
+
+    @staticmethod
     def by_type(sensor_type: int) -> "SensorConfig":
-        return {16: SensorConfig.vlp16, 32: SensorConfig.hdl32, 64: SensorConfig.hdl64}[sensor_type]()
+        return {16: SensorConfig.vlp16, 32: SensorConfig.hdl32,
+                64: SensorConfig.hdl64, 320: SensorConfig.rs32_uneven}[sensor_type]()
 
 
 @dataclass(frozen=True)
@@ -169,6 +179,12 @@ class EstimatorConfig:
     # for the local-map build
     use_corner: bool = False
     fix_map: bool = False
+    # association-pose refinement budget for the newest frame when the IMU
+    # factor is on (0 = reference parity: associate at the IMU-predicted
+    # pose, Estimator.cc:1560-1570). Each iteration is one serial KNN+fit
+    # round of the CalculateLaserOdom mini-GN; small budgets recover most
+    # of its f32 accuracy benefit at a fraction of the cost.
+    newest_refine_iters: int = 2
 
     imu: ImuConfig = field(default_factory=ImuConfig)
 
