@@ -20,11 +20,15 @@ from ..ops.features import SweepFeatures
 
 @partial(jax.jit, static_argnames=("cfg",))
 def process_sweep(xyz: jnp.ndarray, mask: jnp.ndarray, cfg: LioConfig,
-                  start_ori=None) -> SweepFeatures:
+                  start_ori=None, ring_ids=None) -> SweepFeatures:
     """Raw (N,3) sweep in the sensor frame -> feature clouds.
 
     ``start_ori``: optional inferred start azimuth from
-    :class:`StartOriTracker` (the ``infer_start_ori`` mode)."""
+    :class:`StartOriTracker` (the ``infer_start_ori`` mode).
+
+    ``ring_ids``: optional (N,) per-point ring annotation for
+    unevenly-spaced lasers (the reference's ``uneven`` mode /
+    sensor_type 320, processor_node.cc:72-74)."""
     s = cfg.sensor
     rc, so = R.project_to_rings(
         xyz, mask,
@@ -34,6 +38,7 @@ def process_sweep(xyz: jnp.ndarray, mask: jnp.ndarray, cfg: LioConfig,
         max_points_per_ring=s.max_points_per_ring,
         scan_period=s.scan_period,
         start_ori_override=start_ori,
+        ring_ids=ring_ids if s.uneven else None,
     )
     return F.extract_features(rc, so, cfg.feature, s)
 

@@ -35,12 +35,18 @@ def project_to_rings(
     max_points_per_ring: int,
     scan_period: float,
     start_ori_override=None,
+    ring_ids=None,
 ) -> RingCloud:
     """Bin a raw sweep (N,3) into per-ring rows with relative times.
 
     ``start_ori_override``: inferred start azimuth from the host-side
     smoother (PointProcessor.cc:348-389); replaces the observed first-point
-    azimuth in the relative-time computation when given."""
+    azimuth in the relative-time computation when given.
+
+    ``ring_ids``: (N,) int32 per-point ring annotation for unevenly-spaced
+    lasers (the reference's ``uneven`` mode reading PointXYZIR's ring field,
+    PointProcessor.cc:105-118 + the PointIR PointToRing overload); replaces
+    elevation binning when given."""
     n = xyz.shape[0]
     dtype = xyz.dtype
 
@@ -49,10 +55,13 @@ def project_to_rings(
     xyz = jnp.where(valid[:, None], xyz, 0.0)
 
     x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
-    dis = jnp.sqrt(x * x + y * y)
-    ele_deg = jnp.arctan2(z, dis) * (180.0 / jnp.pi)
-    factor = (n_rings - 1) / (upper_bound_deg - lower_bound_deg)
-    ring = jnp.floor((ele_deg - lower_bound_deg) * factor + 0.5).astype(jnp.int32)
+    if ring_ids is not None:
+        ring = ring_ids.astype(jnp.int32)
+    else:
+        dis = jnp.sqrt(x * x + y * y)
+        ele_deg = jnp.arctan2(z, dis) * (180.0 / jnp.pi)
+        factor = (n_rings - 1) / (upper_bound_deg - lower_bound_deg)
+        ring = jnp.floor((ele_deg - lower_bound_deg) * factor + 0.5).astype(jnp.int32)
     valid = valid & (ring >= 0) & (ring < n_rings)
 
     azi = 2.0 * jnp.pi - jnp.arctan2(y, x)

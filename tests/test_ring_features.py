@@ -248,3 +248,47 @@ class TestStartOriTracker:
         assert not np.allclose(
             np.asarray(f0.surf_less_flat.rel_time)[m],
             np.asarray(f1.surf_less_flat.rel_time)[m])
+
+
+class TestUnevenRings:
+    """sensor_type 320: per-point ring annotation (processor_node.cc:72-74)."""
+
+    def test_ring_ids_respected(self, sweep):
+        xyz, mask = sweep
+        n = xyz.shape[0]
+        rng = np.random.default_rng(3)
+        ring_ids = rng.integers(0, 32, size=n).astype(np.int32)
+        rc, _ = R.project_to_rings(
+            jnp.asarray(xyz, jnp.float32), jnp.asarray(mask),
+            n_rings=32, lower_bound_deg=-25.0, upper_bound_deg=15.0,
+            max_points_per_ring=2304, scan_period=0.1,
+            ring_ids=jnp.asarray(ring_ids))
+        # every assigned point must be in the annotated ring: reconstruct
+        # per-ring membership by matching coordinates
+        got = np.asarray(rc.xyz)
+        msk = np.asarray(rc.mask)
+        for r in [0, 7, 31]:
+            pts_r = got[r][msk[r]]
+            want = xyz[mask & (ring_ids == r)]
+            assert pts_r.shape[0] == min(want.shape[0], 2304)
+            # scan order within the ring is preserved
+            np.testing.assert_allclose(
+                pts_r, want[: pts_r.shape[0]].astype(np.float32), rtol=1e-6)
+
+    def test_process_sweep_uneven_profile(self, sweep):
+        import dataclasses
+
+        from lio_mapping_tpu.config import LioConfig, SensorConfig
+        from lio_mapping_tpu.models.point_processor import process_sweep
+
+        xyz, mask = sweep
+        cfg = dataclasses.replace(
+            LioConfig.indoor(), sensor=SensorConfig.by_type(320))
+        # derive consistent ring annotations from elevation so features
+        # still make geometric sense
+        el = np.degrees(np.arctan2(xyz[:, 2], np.linalg.norm(xyz[:, :2], axis=1)))
+        ring_ids = np.clip(((el + 25.0) * (31 / 40.0) + 0.5).astype(np.int32), 0, 31)
+        feats = process_sweep(
+            jnp.asarray(xyz, jnp.float32), jnp.asarray(mask), cfg,
+            None, jnp.asarray(ring_ids))
+        assert bool(np.asarray(feats.surf_less_flat.mask).any())
