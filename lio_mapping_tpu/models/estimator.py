@@ -179,7 +179,7 @@ def _calculate_features(
     e = cfg.estimator
     point_sel = quat.rotate(local_q[None, :], stack_xyz) + local_t[None, :]
 
-    sq_d, idx = KNN.knn(point_sel, stack_mask, map_xyz, map_mask, k=5)
+    sq_d, idx = KNN.knn(point_sel, stack_mask, map_xyz, map_mask, k=5, prune_beyond=e.min_match_sq_dis)
     nn_ok = sq_d[:, 4] < e.min_match_sq_dis
 
     neighbors = map_xyz[idx]  # (C, 5, 3)
@@ -213,7 +213,7 @@ def _calculate_corner_features(
     e = cfg.estimator
     point_sel = quat.rotate(local_q[None, :], stack_xyz) + local_t[None, :]
 
-    sq_d, idx = KNN.knn(point_sel, stack_mask, map_xyz, map_mask, k=5)
+    sq_d, idx = KNN.knn(point_sel, stack_mask, map_xyz, map_mask, k=5, prune_beyond=e.min_match_sq_dis)
     nn_ok = sq_d[:, 4] < e.min_match_sq_dis
 
     centroid, direction, line_ok = line_fit(map_xyz[idx], nn_ok)
@@ -322,6 +322,13 @@ def _calculate_laser_odom(maps, stacks, local_q, local_t, cfg: LioConfig,
 # The per-sweep LIO step
 # ---------------------------------------------------------------------------
 
+# Profiling hook (tools/profile_step.py): set to one of
+# {"window", "map", "assoc", "gates", "solve"} and re-jit
+# ``lio_step.__wrapped__`` to time a DCE-truncated prefix of the step —
+# XLA dead-code-eliminates everything after the early return, giving an
+# exact cumulative stage waterfall on real inputs. None in production.
+_TRUNCATE_STAGE = None
+
 
 @partial(jax.jit, static_argnames=("cfg",))
 def lio_step(
@@ -399,6 +406,9 @@ def lio_step(
         ps_lin=push(state.ps_lin, p_pred),
     )
 
+    if _TRUNCATE_STAGE == "window":
+        return st, {}
+
     # ---- 5. local map in pivot laser frame ----
     lposes = jax.vmap(lambda q, p: laser_pose(q, p, st.q_lb, st.t_lb))(st.qs, st.ps)
     pivot_pose = jax.tree.map(lambda a: a[pivot], lposes)
@@ -434,6 +444,9 @@ def lio_step(
             cmap_pts[:w].reshape(-1, 3), cmap_msk[:w].reshape(-1),
             e.corner_filter_size, e.local_map_corner_cap)
         maps = maps + (cmap_xyz, cmap_mask)
+
+    if _TRUNCATE_STAGE == "map":
+        return st, {"m": maps[0]}
 
     def frame_stacks(i):
         if e.use_corner:
@@ -478,6 +491,9 @@ def lio_step(
         mask=jnp.stack(feat_ok),
     )
 
+    if _TRUNCATE_STAGE == "assoc":
+        return st, {"c": planes.coeff}
+
     # ---- 6. gates + window solve ----
     x0 = SV.OptStates(
         q=st.qs[pivot:], p=st.ps[pivot:],
@@ -485,9 +501,20 @@ def lio_step(
         ex_q=st.q_lb, ex_p=st.t_lb)
     pres_opt = jax.tree.map(lambda a: a[pivot + 1:], st.pres)
 
+    ex_prior = None
+    if e.prior_factor:
+        q_lb0, t_lb0 = cfg.extrinsic_lb()
+        ex_prior = (q_lb0.astype(dtype), t_lb0.astype(dtype))
+
+    # one full residual/Jacobian evaluation at x0 serves BOTH the
+    # convergence gates and the LM solver's first iteration (validity
+    # enters _evaluate as weights, so the gate decision only rescales the
+    # marg rows) — saves a full assembly pass per sweep
+    imu_sqrt_infos = jax.vmap(FA.sqrt_info_from_covariance)(pres_opt.covariance)
     groups0 = SV._evaluate(
-        x0, pres_opt, state.g_vec, planes, st.prior, None,
-        {"cauchy_scale": e.cauchy_loss_scale}, s_opt)
+        x0, pres_opt, state.g_vec, planes, st.prior, ex_prior,
+        {"cauchy_scale": e.cauchy_loss_scale,
+         "imu_sqrt_infos": imu_sqrt_infos}, s_opt)
     costs0 = SV.group_costs(groups0)
     turn_off = costs0["imu"] > e.convergence_cost_pim_th
     ratio = costs0["marg"] / jnp.maximum(costs0["plane"] + costs0["imu"], 1e-12)
@@ -498,17 +525,25 @@ def lio_step(
     prior_in = st.prior._replace(valid=st.prior.valid & convergence_flag)
     opt_ex = st.extrinsic_enabled & convergence_flag
 
-    ex_prior = None
-    if e.prior_factor:
-        q_lb0, t_lb0 = cfg.extrinsic_lb()
-        ex_prior = (q_lb0.astype(dtype), t_lb0.astype(dtype))
+    if _TRUNCATE_STAGE == "gates":
+        return st, {"f": convergence_flag}
+
+    # reuse the gate evaluation as the solver's first iteration, with the
+    # marg rows rescaled by the gate decision
+    j_m, r_m, w_m = groups0["marg"]
+    eval0 = dict(groups0)
+    eval0["marg"] = (j_m, r_m, w_m * convergence_flag.astype(w_m.dtype))
 
     x_opt, diag = SV.solve_window(
         x0, pres_opt, state.g_vec, planes, prior_in, ex_prior,
         s=s_opt, max_iterations=e.max_solver_iterations,
         cauchy_scale=e.cauchy_loss_scale,
         opt_extrinsic=opt_ex,
-        use_marg=jnp.asarray(True))
+        use_marg=jnp.asarray(True),
+        eval0=eval0, imu_sqrt_infos=imu_sqrt_infos)
+
+    if _TRUNCATE_STAGE == "solve":
+        return st, {"q": x_opt.q}
 
     # ---- 7. yaw-gauge fix (DoubleToVector, Estimator.cc:2479-2568) ----
     r_pivot_old = quat.to_matrix(st.qs[pivot])

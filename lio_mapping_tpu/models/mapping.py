@@ -131,7 +131,7 @@ def optimize_to_map(
 
         # ---- corner associations: 5-NN line fit ----
         c_sel = pose.apply(corner_stack)
-        c_d, c_idx = KNN.knn(c_sel, corner_stack_mask, corner_db, corner_db_mask, k=5)
+        c_d, c_idx = KNN.knn(c_sel, corner_stack_mask, corner_db, corner_db_mask, k=5, prune_beyond=mcfg.min_match_sq_dis)
         c_ok = c_d[:, 4] < mcfg.min_match_sq_dis
         centroid, direction, line_ok = line_fit(corner_db[c_idx], c_ok)
         ld2, c_n = point_to_line_residual(c_sel, centroid, direction)
@@ -142,7 +142,7 @@ def optimize_to_map(
 
         # ---- surf associations: 5-NN plane fit ----
         s_sel = pose.apply(surf_stack)
-        s_d, s_idx = KNN.knn(s_sel, surf_stack_mask, surf_db, surf_db_mask, k=5)
+        s_d, s_idx = KNN.knn(s_sel, surf_stack_mask, surf_db, surf_db_mask, k=5, prune_beyond=mcfg.min_match_sq_dis)
         s_ok = s_d[:, 4] < mcfg.min_match_sq_dis
         pw, pd, plane_ok = plane_fit(surf_db[s_idx], s_ok, mcfg.min_plane_dis)
         pd2 = jnp.sum(pw * s_sel, axis=-1) + pd

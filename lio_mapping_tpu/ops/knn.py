@@ -31,7 +31,7 @@ def _use_pallas() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("k", "tile"))
+@partial(jax.jit, static_argnames=("k", "tile", "prune_beyond"))
 def knn(
     queries: jnp.ndarray,
     q_mask: jnp.ndarray,
@@ -39,12 +39,19 @@ def knn(
     db_mask: jnp.ndarray,
     k: int = 5,
     tile: int = 2048,
+    prune_beyond: float = None,
 ):
     """Exact kNN: for each query, the k nearest valid db points.
 
     Returns (sq_dists (Q, k) ascending, idx (Q, k) int32). Invalid queries
     get +inf distances; if fewer than k valid db points exist, the tail is
     +inf / index 0.
+
+    ``prune_beyond``: optional squared-distance match gate enabling AABB
+    block pruning in the device kernel. Exact for every query whose true
+    k-th neighbor lies within the gate; gate tests ``d[:, k-1] < gate``
+    are decided exactly either way (see knn_pallas). Use when the caller
+    discards matches beyond a radius (all LOAM association does).
 
     On TPU this dispatches to the Pallas kernel (ops/pallas/knn_kernel.py)
     which keeps the whole search in VMEM; the tiled jnp path below is the
@@ -53,7 +60,8 @@ def knn(
     if _use_pallas() and k <= 8:
         from .pallas.knn_kernel import knn_pallas
 
-        return knn_pallas(queries, q_mask, db, db_mask, k=k)
+        return knn_pallas(queries, q_mask, db, db_mask, k=k,
+                          prune_beyond=prune_beyond)
     q = queries.shape[0]
     m = db.shape[0]
     dtype = queries.dtype

@@ -33,8 +33,16 @@ BM = 2048      # db chunk per inner step
 MAX_K = 8
 
 
-def _knn_kernel(q_ref, db_ref, dist_ref, idx_ref, *, k: int, m_chunks: int):
-    """One query block vs the whole VMEM-resident database."""
+def _knn_kernel(prune_ref, q_ref, db_ref, dist_ref, idx_ref, *, k: int,
+                m_chunks: int):
+    """One query block vs the whole VMEM-resident database.
+
+    ``prune_ref`` (SMEM, (n_qblocks, m_chunks) int32, full array per block):
+    1 where this query block can skip the chunk entirely (AABB lower bound
+    above the caller's match gate — see ``knn_pallas``); the fori_loop body
+    becomes a no-op there.
+    """
+    qb = pl.program_id(0)
     q = q_ref[...]                      # (BQ, 4): xyz + |q|^2
     qxyz = q[:, 0:3]
     q_sq = q[:, 3:4]
@@ -62,8 +70,7 @@ def _knn_kernel(q_ref, db_ref, dist_ref, idx_ref, *, k: int, m_chunks: int):
     best_d0 = jnp.full((BQ, k), jnp.inf, jnp.float32)
     best_i0 = jnp.zeros((BQ, k), jnp.int32)
 
-    def chunk_step(c, carry):
-        best_d, best_i = carry
+    def chunk_work(c, best_d, best_i):
         db = db_ref[:, pl.ds(c * BM, BM)]      # (4, BM)
         p_sq = db[3:4, :]                       # (1, BM) — +inf for padding
         cross = jax.lax.dot_general(
@@ -80,6 +87,14 @@ def _knn_kernel(q_ref, db_ref, dist_ref, idx_ref, *, k: int, m_chunks: int):
         cat_i = jnp.concatenate([best_i, ck_i], axis=1)
         return topk_passes(cat_d, cat_i, k)
 
+    def chunk_step(c, carry):
+        best_d, best_i = carry
+        return jax.lax.cond(
+            prune_ref[qb, c] == 0,
+            lambda bd, bi: chunk_work(c, bd, bi),
+            lambda bd, bi: (bd, bi),
+            best_d, best_i)
+
     best_d, best_i = jax.lax.fori_loop(0, m_chunks, chunk_step, (best_d0, best_i0))
     pad = MAX_K - k
     dist_ref[...] = jnp.concatenate(
@@ -88,9 +103,29 @@ def _knn_kernel(q_ref, db_ref, dist_ref, idx_ref, *, k: int, m_chunks: int):
         [best_i, jnp.zeros((BQ, pad), jnp.int32)], axis=1) if pad else best_i
 
 
-@partial(jax.jit, static_argnames=("k",))
-def knn_pallas(queries, q_mask, db, db_mask, k: int = 5):
-    """Exact kNN via the Pallas kernel. Same contract as ops.knn.knn."""
+def _aabb(pts, valid, n_blocks, bs):
+    """Per-block axis-aligned bounds of the valid points: ((B,3) lo, (B,3) hi).
+    Empty blocks give lo=+inf / hi=-inf (always pruned)."""
+    lo = jnp.where(valid[:, None], pts, jnp.inf).reshape(n_blocks, bs, 3).min(1)
+    hi = jnp.where(valid[:, None], pts, -jnp.inf).reshape(n_blocks, bs, 3).max(1)
+    return lo, hi
+
+
+@partial(jax.jit, static_argnames=("k", "prune_beyond"))
+def knn_pallas(queries, q_mask, db, db_mask, k: int = 5,
+               prune_beyond: float | None = None):
+    """Exact kNN via the Pallas kernel. Same contract as ops.knn.knn.
+
+    ``prune_beyond``: optional squared-distance match gate. Query-block x
+    db-chunk pairs whose AABB lower bound exceeds the gate are skipped
+    inside the kernel. Results remain EXACT for every query whose true k-th
+    neighbor lies within the gate (a pruned chunk's points are all farther
+    than the gate, hence farther than all true top-k); rows whose true k-th
+    distance exceeds the gate report distances that also exceed it, so
+    gate-style acceptance tests (`d[:, k-1] < gate`) are decided exactly.
+    The voxel filter emits hash-sorted (spatially coherent) points, which
+    is what makes the chunk bounds tight.
+    """
     assert k <= MAX_K
     q_n = queries.shape[0]
     m_n = db.shape[0]
@@ -110,12 +145,30 @@ def knn_pallas(queries, q_mask, db, db_mask, k: int = 5):
 
     qp = q4.shape[0]
     mp = dbt.shape[1]
-    grid = (qp // BQ,)
+    n_qb = qp // BQ
+    n_ch = mp // BM
+    grid = (n_qb,)
+
+    if prune_beyond is not None:
+        qm_full = jnp.concatenate([q_mask, jnp.zeros((q_pad,), bool)], axis=0)
+        q_lo, q_hi = _aabb(qxyz, qm_full, n_qb, BQ)
+        c_lo, c_hi = _aabb(db_x, mask_full, n_ch, BM)
+        gap = jnp.maximum(
+            0.0,
+            jnp.maximum(q_lo[:, None, :] - c_hi[None, :, :],
+                        c_lo[None, :, :] - q_hi[:, None, :]))
+        lb = jnp.sum(gap * gap, axis=-1)               # (n_qb, n_ch)
+        # inf - inf = nan for empty blocks: treat as prunable
+        prune = jnp.where(jnp.isnan(lb), True, lb > prune_beyond)
+        prune = prune.astype(jnp.int32)
+    else:
+        prune = jnp.zeros((n_qb, n_ch), jnp.int32)
 
     dist, idx = pl.pallas_call(
-        partial(_knn_kernel, k=k, m_chunks=mp // BM),
+        partial(_knn_kernel, k=k, m_chunks=n_ch),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((n_qb, n_ch), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((BQ, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -127,7 +180,7 @@ def knn_pallas(queries, q_mask, db, db_mask, k: int = 5):
             jax.ShapeDtypeStruct((qp, MAX_K), jnp.float32),
             jax.ShapeDtypeStruct((qp, MAX_K), jnp.int32),
         ],
-    )(q4, dbt)
+    )(prune, q4, dbt)
 
     dist = dist[:q_n, :k]
     idx = jnp.clip(idx[:q_n, :k], 0, max(m_n - 1, 0))

@@ -193,15 +193,27 @@ def solve_window(
     cauchy_scale: float = 1.0,
     opt_extrinsic,
     use_marg,
+    eval0=None,
+    imu_sqrt_infos=None,
 ):
-    """LM over the window. Returns (x_opt, diagnostics)."""
+    """LM over the window. Returns (x_opt, diagnostics).
+
+    ``eval0``: optional groups dict from a prior ``_evaluate`` at ``x0``
+    with weights ALREADY reflecting the effective prior validity — reused
+    as the first LM evaluation (the estimator's convergence gates evaluate
+    at x0 anyway; reusing it saves one full residual/Jacobian assembly per
+    sweep). ``imu_sqrt_infos`` may carry the hoisted covariance whitening
+    alongside it.
+    """
     dtype = x0.p.dtype
     pose_off, sb_off, ex_off, dim = _layout(s)
     # hoist the 15x15 covariance whitening out of the LM loop (expensive
     # inverse+Cholesky custom calls on TPU, invariant w.r.t. the states)
+    if imu_sqrt_infos is None:
+        imu_sqrt_infos = jax.vmap(FA.sqrt_info_from_covariance)(pres.covariance)
     flags = {
         "cauchy_scale": cauchy_scale,
-        "imu_sqrt_infos": jax.vmap(FA.sqrt_info_from_covariance)(pres.covariance),
+        "imu_sqrt_infos": imu_sqrt_infos,
     }
 
     free = jnp.ones((dim,), dtype)
@@ -210,8 +222,7 @@ def solve_window(
 
     prior_used = prior._replace(valid=prior.valid & use_marg)
 
-    def eval_all(x):
-        groups = _evaluate(x, pres, g_vec, planes, prior_used, ex_prior, flags, s)
+    def pack(groups):
         js = jnp.concatenate([g[0] for g in groups.values()], axis=0)
         rs = jnp.concatenate([g[1] for g in groups.values()], axis=0)
         ws = jnp.concatenate([g[2] for g in groups.values()], axis=0)
@@ -219,6 +230,9 @@ def solve_window(
         gc = jnp.stack([costs.get("marg", jnp.zeros((), dtype)),
                         costs["imu"], costs["plane"]])
         return js, rs, ws, gc
+
+    def eval_all(x):
+        return pack(_evaluate(x, pres, g_vec, planes, prior_used, ex_prior, flags, s))
 
     # One full residual/Jacobian evaluation per LM iteration: the accepted
     # point's (J, r) ride the carry, and the candidate's evaluation is
@@ -257,7 +271,12 @@ def solve_window(
         cost = jnp.where(accept, new_cost, cost)
         return (x, lam, cost, js, rs, ws, gc, it + 1, done)
 
-    js0, rs0, ws0, gc0 = eval_all(x0)
+    if eval0 is not None:
+        # the caller's gate evaluation at x0; marg weights must already
+        # encode prior_used.valid (the groups carry validity as weights)
+        js0, rs0, ws0, gc0 = pack(eval0)
+    else:
+        js0, rs0, ws0, gc0 = eval_all(x0)
     cost0 = 0.5 * jnp.sum(ws0 * rs0 * rs0)
     x_fin, _, cost_fin, _, _, _, gc_fin, iters, _ = jax.lax.while_loop(
         lm_cond, lm_step,

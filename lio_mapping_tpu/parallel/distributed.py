@@ -41,7 +41,7 @@ def _associate_local(
     (mirrors models/estimator._calculate_features)."""
     e = cfg.estimator
     point_sel = quat.rotate(rel_q[None, :], stack_xyz) + rel_t[None, :]
-    sq_d, idx = KNN.knn(point_sel, stack_mask, map_xyz, map_mask, k=5)
+    sq_d, idx = KNN.knn(point_sel, stack_mask, map_xyz, map_mask, k=5, prune_beyond=e.min_match_sq_dis)
     nn_ok = sq_d[:, 4] < e.min_match_sq_dis
     w, d, plane_ok = plane_fit(map_xyz[idx], nn_ok, e.min_plane_dis)
     pd2 = jnp.sum(w * point_sel, axis=-1) + d
