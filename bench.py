@@ -20,8 +20,24 @@ import time
 import numpy as np
 
 
-def build_cfg():
+def build_cfg(profile: str = "indoor"):
     from lio_mapping_tpu.config import LioConfig
+
+    if profile == "outdoor_64":
+        # BASELINE config 4: 64-beam, large windows/caps stressing the
+        # KNN + BA kernels. Extrinsic fixed so the bench initializes
+        # immediately (the synthetic rig has an identity extrinsic).
+        base = LioConfig.outdoor_64()
+        est = dataclasses.replace(
+            base.estimator,
+            init_window_factor=1,
+            estimate_extrinsic=0,
+            opt_extrinsic=False,
+            extrinsic_rotation=(1, 0, 0, 0, 1, 0, 0, 0, 1),
+            extrinsic_translation=(0.0, 0.0, 0.0),
+            max_solver_iterations=8,
+        )
+        return dataclasses.replace(base, estimator=est)
 
     base = LioConfig.indoor()
     est = dataclasses.replace(
@@ -45,6 +61,7 @@ def main():
     ap.add_argument("--sweeps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--profile", default="indoor", choices=["indoor", "outdoor_64"])
     args = ap.parse_args()
 
     if args.cpu:
@@ -58,7 +75,7 @@ def main():
     from lio_mapping_tpu.io import synthetic
     from lio_mapping_tpu.models.pipeline import LioPipeline
 
-    cfg = build_cfg()
+    cfg = build_cfg(args.profile)
     traj = synthetic.Trajectory(g_norm=cfg.estimator.imu.g_norm)
     pipe = LioPipeline(cfg, dtype=jnp.float32)
     dt = cfg.sensor.scan_period
@@ -69,7 +86,11 @@ def main():
     frames = []
     for i in range(n_total):
         t0 = i * dt
-        xyz, mask = synthetic.simulate_sweep(traj, t0, n_azimuth=900)
+        xyz, mask = synthetic.simulate_sweep(
+            traj, t0, n_azimuth=900,
+            n_rings=cfg.sensor.n_rings,
+            lower_deg=cfg.sensor.lower_bound_deg,
+            upper_deg=cfg.sensor.upper_bound_deg)
         ts, acc, gyr = synthetic.simulate_imu_interval(traj, t0, t0 + dt, imu_rate)
         a0, w0 = traj.imu(t0)
         dts = np.diff(np.concatenate([[t0], ts]))
