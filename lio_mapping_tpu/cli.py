@@ -227,6 +227,56 @@ def cmd_export_pcd(args):
     return 0
 
 
+def cmd_bag_info(args):
+    """Topic inventory of a rosbag (``rosbag info`` equivalent)."""
+    from .io.rosbag import BagReader
+
+    info = BagReader(args.bag).topics()
+    for topic, (msg_type, count) in sorted(info.items()):
+        print(f"{topic:40s} {msg_type:30s} {count:8d} msgs")
+    return 0
+
+
+def cmd_convert_bag(args):
+    """rosbag -> sequence log (the reference's `rosbag play` entry point).
+
+    Topics default to the largest sensor_msgs/PointCloud2 and
+    sensor_msgs/Imu topics in the bag (the reference remaps
+    /velodyne_points + /imu/data in its launch files)."""
+    from .io.rosbag import convert_bag
+
+    n_sweeps, n_imu = convert_bag(
+        args.bag, args.out, points_topic=args.points_topic,
+        imu_topic=args.imu_topic, scan_period=args.scan_period,
+        min_range=args.min_range)
+    print(f"converted {n_sweeps} sweeps + {n_imu} imu msgs -> {args.out}")
+    if n_sweeps == 0:
+        print("warning: no sweeps converted (check --points-topic)")
+        return 1
+    return 0
+
+
+def cmd_export_bag(args):
+    """Sequence log -> rosbag (for ROS-side tooling/rviz replay)."""
+    from . import native
+    from .io import rosbag as RB
+
+    n = 0
+    with RB.BagWriter(args.out, compression=args.compression) as w:
+        for item in native.SequenceLog(args.log):
+            if item[0] == "sweep":
+                _, t, xyz, rel = item
+                w.write(args.points_topic, "sensor_msgs/PointCloud2", t,
+                        RB.serialize_pointcloud2(t, xyz, rel))
+            else:
+                _, t, acc, gyr = item
+                w.write(args.imu_topic, "sensor_msgs/Imu", t,
+                        RB.serialize_imu(t, acc, gyr))
+            n += 1
+    print(f"wrote {n} messages to {args.out}")
+    return 0
+
+
 def cmd_evaluate(args):
     from .io.evaluation import evaluate_trajectory, load_tum
 
@@ -278,6 +328,28 @@ def main(argv=None):
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", default=None)
     p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("bag-info")
+    p.add_argument("--bag", required=True)
+    p.set_defaults(fn=cmd_bag_info)
+
+    p = sub.add_parser("convert-bag")
+    p.add_argument("--bag", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--points-topic", default=None)
+    p.add_argument("--imu-topic", default=None)
+    p.add_argument("--scan-period", type=float, default=0.1)
+    p.add_argument("--min-range", type=float, default=0.0,
+                   help="drop points closer than this (self-returns)")
+    p.set_defaults(fn=cmd_convert_bag)
+
+    p = sub.add_parser("export-bag")
+    p.add_argument("--log", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--points-topic", default="/velodyne_points")
+    p.add_argument("--imu-topic", default="/imu/data")
+    p.add_argument("--compression", default="bz2", choices=["none", "bz2"])
+    p.set_defaults(fn=cmd_export_bag)
 
     p = sub.add_parser("evaluate")
     p.add_argument("--est", required=True)

@@ -1,0 +1,148 @@
+"""rosbag container + message codec tests (io/rosbag.py).
+
+The reference's input boundary is ROS bag replay (README.md:31-36); these
+tests round-trip the bag container (uncompressed and bz2 chunks), the
+sensor_msgs/PointCloud2 + Imu codecs, and the bag -> sequence-log
+conversion consumed by the CLI."""
+
+import numpy as np
+import pytest
+
+from lio_mapping_tpu import native
+from lio_mapping_tpu.io import rosbag as RB
+
+
+def _write_demo_bag(path, compression="none", n_sweeps=3, imu_rate=100.0,
+                    with_time=True, with_ring=True):
+    rng = np.random.default_rng(42)
+    sweeps, imus = [], []
+    with RB.BagWriter(path, compression=compression, chunk_size=4096) as w:
+        t_imu = 100.0
+        for k in range(n_sweeps):
+            t0 = 100.0 + 0.1 * k
+            while t_imu < t0 + 0.1:
+                t_imu += 1.0 / imu_rate
+                acc = np.asarray([0.1, -0.2, 9.81]) + 0.01 * rng.standard_normal(3)
+                gyr = 0.02 * rng.standard_normal(3)
+                imus.append((t_imu, acc, gyr))
+                w.write("/imu/data", "sensor_msgs/Imu", t_imu,
+                        RB.serialize_imu(t_imu, acc, gyr))
+            n = 64
+            xyz = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+            xyz[5] = np.nan  # non-finite points must be dropped on convert
+            rel = np.linspace(0, 0.099, n).astype(np.float32) if with_time else None
+            ring = (np.arange(n) % 16).astype(np.uint16) if with_ring else None
+            sweeps.append((t0 + 0.1, xyz, rel))
+            w.write("/velodyne_points", "sensor_msgs/PointCloud2", t0 + 0.1,
+                    RB.serialize_pointcloud2(t0 + 0.1, xyz, rel, ring))
+    return sweeps, imus
+
+
+@pytest.mark.parametrize("compression", ["none", "bz2"])
+def test_bag_roundtrip(tmp_path, compression):
+    bag = str(tmp_path / "demo.bag")
+    sweeps, imus = _write_demo_bag(bag, compression)
+
+    reader = RB.BagReader(bag)
+    got_clouds, got_imus = [], []
+    for msg in reader:
+        if msg.msg_type == "sensor_msgs/PointCloud2":
+            got_clouds.append(RB.parse_pointcloud2(msg.raw))
+        elif msg.msg_type == "sensor_msgs/Imu":
+            got_imus.append(RB.parse_imu(msg.raw))
+
+    assert len(got_clouds) == len(sweeps)
+    assert len(got_imus) == len(imus)
+    for (t, xyz, rel), cloud in zip(sweeps, got_clouds):
+        assert abs(cloud.stamp - t) < 1e-6
+        np.testing.assert_array_equal(cloud.xyz(), xyz)
+        np.testing.assert_allclose(cloud.field_array("time"), rel)
+        assert cloud.field_array("ring").dtype == np.uint16
+    for (t, acc, gyr), imu in zip(imus, got_imus):
+        assert abs(imu.stamp - t) < 1e-6
+        np.testing.assert_allclose(imu.linear_acceleration, acc)
+        np.testing.assert_allclose(imu.angular_velocity, gyr)
+
+
+def test_topics_inventory(tmp_path):
+    bag = str(tmp_path / "demo.bag")
+    sweeps, imus = _write_demo_bag(bag)
+    info = RB.BagReader(bag).topics()
+    assert info["/velodyne_points"] == ("sensor_msgs/PointCloud2", len(sweeps))
+    assert info["/imu/data"] == ("sensor_msgs/Imu", len(imus))
+    assert RB.detect_topics(bag) == ("/velodyne_points", "/imu/data")
+
+
+def test_convert_bag_to_sequence_log(tmp_path):
+    bag = str(tmp_path / "demo.bag")
+    out = str(tmp_path / "seq.liol")
+    sweeps, imus = _write_demo_bag(bag, compression="bz2")
+
+    n_sweeps, n_imu = RB.convert_bag(bag, out)
+    assert n_sweeps == len(sweeps)
+    assert n_imu == len(imus)
+
+    got_sweeps, got_imus = [], []
+    for item in native.SequenceLog(out):
+        if item[0] == "sweep":
+            got_sweeps.append(item)
+        else:
+            got_imus.append(item)
+    assert len(got_sweeps) == len(sweeps)
+    assert len(got_imus) == len(imus)
+    for (t, xyz, rel), (_, t_got, xyz_got, rel_got) in zip(sweeps, got_sweeps):
+        assert abs(t_got - t) < 1e-6
+        finite = np.isfinite(xyz).all(axis=-1)
+        np.testing.assert_array_equal(xyz_got, xyz[finite])
+        np.testing.assert_allclose(rel_got, rel[finite], atol=1e-6)
+    for (t, acc, gyr), (_, t_got, acc_got, gyr_got) in zip(imus, got_imus):
+        assert abs(t_got - t) < 1e-6
+        np.testing.assert_allclose(acc_got, acc.astype(np.float32), rtol=1e-6)
+
+
+def test_convert_min_range_filter(tmp_path):
+    bag = str(tmp_path / "demo.bag")
+    out = str(tmp_path / "seq.liol")
+    with RB.BagWriter(bag) as w:
+        xyz = np.asarray([[0.1, 0.0, 0.0], [5.0, 0.0, 0.0]], np.float32)
+        w.write("/velodyne_points", "sensor_msgs/PointCloud2", 1.0,
+                RB.serialize_pointcloud2(1.0, xyz))
+    RB.convert_bag(bag, out, min_range=1.0)
+    for item in native.SequenceLog(out):
+        assert item[0] == "sweep"
+        assert len(item[2]) == 1
+        np.testing.assert_allclose(item[2][0], [5.0, 0.0, 0.0])
+
+
+def test_relative_time_unit_normalization(tmp_path):
+    """Ouster-style nanosecond 't' channels must normalize to seconds."""
+    bag = str(tmp_path / "demo.bag")
+    with RB.BagWriter(bag) as w:
+        xyz = np.ones((4, 3), np.float32)
+        raw = RB.serialize_pointcloud2(1.0, xyz)
+        w.write("/points", "sensor_msgs/PointCloud2", 1.0, raw)
+    cloud = next(iter(RB.BagReader(bag)))
+    pc = RB.parse_pointcloud2(cloud.raw)
+    assert RB._relative_times(pc, 0.1) is None  # no time channel
+
+    ns = np.asarray([0, 25e6, 50e6, 99e6], np.float64)
+    pc2 = RB.parse_pointcloud2(
+        RB.serialize_pointcloud2(1.0, xyz, rel_time=ns.astype(np.float32)))
+    rel = RB._relative_times(pc2, 0.1)
+    np.testing.assert_allclose(rel, ns * 1e-9, atol=1e-9)
+
+
+def test_cli_bag_commands(tmp_path, capsys):
+    from lio_mapping_tpu.cli import main
+
+    bag = str(tmp_path / "demo.bag")
+    out = str(tmp_path / "seq.liol")
+    _write_demo_bag(bag)
+    assert main(["bag-info", "--bag", bag]) == 0
+    assert "/velodyne_points" in capsys.readouterr().out
+    assert main(["convert-bag", "--bag", bag, "--out", out]) == 0
+    assert "converted 3 sweeps" in capsys.readouterr().out
+    bag2 = str(tmp_path / "back.bag")
+    assert main(["export-bag", "--log", out, "--out", bag2]) == 0
+    n2, _ = RB.convert_bag(bag2, str(tmp_path / "seq2.liol"))
+    assert n2 == 3
