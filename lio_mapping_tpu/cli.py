@@ -277,6 +277,102 @@ def cmd_export_bag(args):
     return 0
 
 
+def cmd_plot_traj(args):
+    """Trajectory dashboards: XY path, altitude, euler angles.
+
+    Parity: scripts/transform_monitor.py (euler republisher) +
+    scripts/debug_plot.sh (rqt_plot driver) — rendered straight to PNG,
+    with an optional euler CSV for external tooling.
+    """
+    from .io.evaluation import load_tum
+    from .io.viz import plot_trajectory, save_euler_csv
+
+    t_e, q_e, p_e = load_tum(args.est)
+    gt = None
+    if args.gt:
+        gt = load_tum(args.gt)
+    plot_trajectory(args.out, t_e, q_e, p_e, gt=gt, title=args.title)
+    print(f"wrote {args.out}")
+    if args.euler_csv:
+        save_euler_csv(args.euler_csv, t_e, q_e)
+        print(f"wrote {args.euler_csv}")
+    return 0
+
+
+def cmd_viz_normals(args):
+    """Local map + fitted plane normals export (PlaneNormalVisualizer).
+
+    Rebuilds the estimator's association view at one sweep: the previous
+    ``--frames`` sweeps (posed by the TUM trajectory) form a pivot-frame
+    local map, the target sweep's points associate against it with the
+    SAME device kernels the estimator runs (KNN + plane fit), and the
+    accepted features are written as a normals-annotated PLY alongside the
+    map cloud (Visualizer.h:75-106, the score/point/coeff multimap view).
+    """
+    import jax.numpy as jnp
+
+    from . import native
+    from .io.evaluation import load_tum
+    from .io.viz import save_ply_cloud, save_ply_normals
+    from .models import estimator as EST
+    from .ops import voxel as VX
+    from .utils import quaternion as quat
+    from .utils.se3 import Pose
+
+    cfg = _profile(args.profile)
+    e = cfg.estimator
+    t_tr, q_tr, p_tr = load_tum(args.traj)
+
+    posed = []  # (t, xyz, Pose)
+    half = 0.05
+    for item in native.SequenceLog(args.log):
+        if item[0] != "sweep":
+            continue
+        t, xyz = item[1], item[2]
+        i = int(np.argmin(np.abs(t_tr - t)))
+        if abs(t_tr[i] - t) > half:
+            continue
+        posed.append((t, xyz, Pose(jnp.asarray(q_tr[i], jnp.float32),
+                                   jnp.asarray(p_tr[i], jnp.float32))))
+    if len(posed) < 2:
+        print("not enough posed sweeps")
+        return 1
+    idx = args.index if args.index >= 0 else len(posed) - 1
+    idx = min(max(idx, 1), len(posed) - 1)
+    first = max(0, idx - args.frames)
+    pivot_pose = posed[idx][2]
+
+    # map: sweeps [first, idx) in the pivot frame
+    pts = []
+    for t, xyz, pose in posed[first:idx]:
+        rel = pivot_pose.inverse() @ pose
+        pts.append(np.asarray(
+            quat.rotate(rel.q[None, :], jnp.asarray(xyz, jnp.float32))
+            + rel.t[None, :]))
+    merged = np.concatenate(pts, axis=0)
+    map_xyz, map_mask, _ = VX.voxel_downsample(
+        jnp.asarray(merged), jnp.ones((len(merged),), bool),
+        e.surf_filter_size, e.local_map_filtered_cap)
+
+    q_xyz, q_mask, _ = VX.voxel_downsample(
+        jnp.asarray(posed[idx][1], jnp.float32),
+        jnp.ones((len(posed[idx][1]),), bool),
+        e.surf_filter_size, e.surf_stack_cap)
+    in_fov = jnp.ones(q_xyz.shape[:1], bool)
+    coeff, score, ok = EST._surf_rows(
+        map_xyz, map_mask, q_xyz, q_mask, in_fov, cfg)
+
+    okn = np.asarray(ok)
+    s_np = np.asarray(score)[okn]
+    normals = np.asarray(coeff)[okn, :3] / np.maximum(s_np, 1e-6)[:, None]
+    save_ply_normals(args.out, np.asarray(q_xyz)[okn], normals, s_np)
+    print(f"wrote {int(okn.sum())} features with normals to {args.out}")
+    if args.map_out:
+        save_ply_cloud(args.map_out, np.asarray(map_xyz)[np.asarray(map_mask)])
+        print(f"wrote local map to {args.map_out}")
+    return 0
+
+
 def cmd_evaluate(args):
     from .io.evaluation import evaluate_trajectory, load_tum
 
@@ -355,6 +451,29 @@ def main(argv=None):
     p.add_argument("--est", required=True)
     p.add_argument("--gt", required=True)
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("plot-traj")
+    p.add_argument("--est", required=True)
+    p.add_argument("--gt", default=None)
+    p.add_argument("--out", required=True)
+    p.add_argument("--euler-csv", default=None,
+                   help="also write t,yaw,pitch,roll CSV "
+                        "(transform_monitor.py output)")
+    p.add_argument("--title", default="trajectory")
+    p.set_defaults(fn=cmd_plot_traj)
+
+    p = sub.add_parser("viz-normals")
+    p.add_argument("--log", required=True)
+    p.add_argument("--traj", required=True)
+    p.add_argument("--out", required=True, help="features+normals PLY")
+    p.add_argument("--map-out", default=None, help="local-map PLY")
+    p.add_argument("--index", type=int, default=-1,
+                   help="sweep index to associate (-1 = last)")
+    p.add_argument("--frames", type=int, default=10,
+                   help="how many previous sweeps build the local map")
+    p.add_argument("--profile", default="indoor",
+                   choices=["indoor", "outdoor", "outdoor_64"])
+    p.set_defaults(fn=cmd_viz_normals)
 
     p = sub.add_parser("export-pcd")
     p.add_argument("--log", required=True)

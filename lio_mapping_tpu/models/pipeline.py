@@ -53,8 +53,6 @@ class LioPipeline:
         self._init_samples: List[PI.ImuSamples] = []
         self._init_stacks: List[tuple] = []
 
-        self._odo_step = jax.jit(
-            lambda s, f, en: ODO.odometry_step(s, f, cfg, en))
         self._start_ori_tracker = (
             StartOriTracker(cfg.sensor.rad_diff)
             if cfg.sensor.infer_start_ori else None)
@@ -62,35 +60,65 @@ class LioPipeline:
         self._noise18 = PI.noise_matrix(
             e.imu.acc_n, e.imu.gyr_n, e.imu.acc_w, e.imu.gyr_w, dtype)
 
-    # ------------------------------------------------------------------
-    def make_samples(self, dts, accs, gyrs, acc0, gyr0) -> PI.ImuSamples:
-        """Pack host IMU arrays into a padded device buffer."""
-        m = self.cfg.estimator.imu.max_imu_per_frame
-        n = len(dts)
-        assert n <= m, f"too many IMU samples per frame: {n} > {m}"
-        dt = np.zeros(m, np.float64)
-        acc = np.zeros((m, 3), np.float64)
-        gyr = np.zeros((m, 3), np.float64)
-        dt[:n] = dts
-        acc[:n] = accs
-        gyr[:n] = gyrs
-        return PI.ImuSamples(
-            acc0=jnp.asarray(acc0, self.dtype), gyr0=jnp.asarray(gyr0, self.dtype),
-            dt=jnp.asarray(dt, self.dtype),
-            acc=jnp.asarray(acc, self.dtype), gyr=jnp.asarray(gyr, self.dtype))
+        # ONE executable per sweep: the front end (ring projection +
+        # feature extraction) is fused INTO the same jitted program as the
+        # downstream stage. Dispatching two different executables per sweep
+        # costs ~4.6 ms each on a tunneled TPU (measured: executable switch
+        # overhead, independent of any data dependency) — fusing them makes
+        # the per-sweep path a single program dispatch.
+        def front_odo(ostate, xyzw, start_ori, enabled):
+            feats = process_sweep(xyzw[:, 0:3], xyzw[:, 3] > 0.5, cfg, start_ori)
+            new_state, odo_out = ODO.odometry_step(ostate, feats, cfg, enabled)
+            return new_state, odo_out
+
+        self._front_odo = jax.jit(front_odo)
+
+        def front_lio(est_state, xyzw, start_ori, packed):
+            feats = process_sweep(xyzw[:, 0:3], xyzw[:, 3] > 0.5, cfg, start_ori)
+            samples = PI.unpack_samples(packed.astype(dtype))
+            corner = feats.corner_less_sharp if cfg.estimator.use_corner else None
+            new_state, out = EST.lio_step(
+                est_state, feats.surf_less_flat, samples, cfg, corner)
+            out = dict(out)
+            out["corner_cloud"] = feats.corner_less_sharp
+            out["surf_cloud"] = feats.surf_less_flat
+            return new_state, out
+
+        self._front_lio = jax.jit(front_lio)
 
     # ------------------------------------------------------------------
+    def make_samples(self, dts, accs, gyrs, acc0, gyr0) -> jnp.ndarray:
+        """Pack host IMU arrays into ONE padded (M+1, 7) device buffer
+        (one transfer per sweep; unpacked inside the fused device program)."""
+        m = self.cfg.estimator.imu.max_imu_per_frame
+        return jnp.asarray(
+            PI.pack_samples_np(dts, accs, gyrs, acc0, gyr0, m), self.dtype)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _pack_xyzw(xyz, mask, dtype):
+        """(N,3) points + (N,) mask -> one (N,4) array = one transfer."""
+        if isinstance(xyz, np.ndarray):
+            out = np.empty((len(xyz), 4), np.float32)
+            out[:, 0:3] = xyz
+            out[:, 3] = np.asarray(mask, np.float32)
+            return jnp.asarray(out, dtype)
+        return jnp.concatenate(
+            [xyz.astype(dtype), mask.astype(dtype)[:, None]], axis=1)
+
     def process(self, xyz: np.ndarray, mask: np.ndarray,
-                samples: Optional[PI.ImuSamples]) -> dict:
-        """Process one sweep (+ its IMU interval). Returns pose outputs."""
+                samples: Optional[jnp.ndarray]) -> dict:
+        """Process one sweep (+ its IMU interval). Returns pose outputs.
+
+        ``samples`` is the packed (M+1, 7) buffer from :meth:`make_samples`.
+        """
         cfg = self.cfg
         start_ori = None
         if self._start_ori_tracker is not None:
             start_ori = jnp.asarray(
                 self._start_ori_tracker.update(raw_start_ori(xyz, mask)),
                 self.dtype)
-        feats = process_sweep(
-            jnp.asarray(xyz, self.dtype), jnp.asarray(mask), cfg, start_ori)
+        xyzw = self._pack_xyzw(xyz, mask, self.dtype)
         self.frame_count += 1
 
         # once INITED with IMU deskew, the scan-to-scan stage is switched
@@ -98,20 +126,17 @@ class LioPipeline:
         # its pose is unused and clouds pass through raw — skip it entirely.
         deskew_mode = cfg.estimator.enable_deskew or cfg.estimator.cutoff_deskew
         if self.stage == "INITED" and deskew_mode:
-            self.est_state, out = EST.lio_step(
-                self.est_state, feats.surf_less_flat, samples, cfg,
-                feats.corner_less_sharp if cfg.estimator.use_corner else None)
+            self.est_state, out = self._front_lio(
+                self.est_state, xyzw, start_ori, samples)
             out["stage"] = self.stage
-            out["corner_cloud"] = feats.corner_less_sharp
-            out["surf_cloud"] = feats.surf_less_flat
             return out
 
-        self.odom_state, odo_out = self._odo_step(
-            self.odom_state, feats, jnp.asarray(True))
+        self.odom_state, odo_out = self._front_odo(
+            self.odom_state, xyzw, start_ori, jnp.asarray(True))
 
         if self.stage == "NOT_INITED":
             if samples is not None and self.frame_count % cfg.estimator.init_window_factor == 0:
-                self._push_init_frame(odo_out, samples)
+                self._push_init_frame(odo_out, PI.unpack_samples(samples))
                 if len(self._init_odom_poses) == cfg.estimator.window_size + 1:
                     if self._try_initialize():
                         self.stage = "INITED"
@@ -130,9 +155,10 @@ class LioPipeline:
                 "surf_cloud": odo_out["surf_cloud"],
             }
 
-        # ---- INITED ----
+        # ---- INITED (no-deskew variant: clouds come from the odometry) ----
         self.est_state, out = EST.lio_step(
-            self.est_state, odo_out["surf_cloud"], samples, cfg,
+            self.est_state, odo_out["surf_cloud"],
+            PI.unpack_samples(samples.astype(self.dtype)), cfg,
             odo_out["corner_cloud"] if cfg.estimator.use_corner else None)
         out["stage"] = self.stage
         out["corner_cloud"] = odo_out["corner_cloud"]
@@ -320,13 +346,30 @@ class LoamPipeline:
         self.odom_state = ODO.init_state(cfg, dtype)
         self.map_state = MAP.init_state(cfg, dtype)
         self.frame_count = 0
-        self._odo_step = jax.jit(
-            lambda s, f, en: ODO.odometry_step(s, f, cfg, en))
-        self._associate = jax.jit(
-            lambda ms, op: (ms.pose @ (ms.pose_bef.inverse() @ op)).normalized())
         self._start_ori_tracker = (
             StartOriTracker(cfg.sensor.rad_diff)
             if cfg.sensor.infer_start_ori else None)
+
+        # one executable per sweep (see LioPipeline.__init__): on the
+        # io_ratio-th frame the scan-to-map refinement fuses into the same
+        # program as the front end + odometry; in between, the cheap
+        # TransformAssociateToMap chain fuses instead.
+        def front_map(ostate, mstate, xyzw, start_ori):
+            feats = process_sweep(xyzw[:, 0:3], xyzw[:, 3] > 0.5, cfg, start_ori)
+            new_odo, odo_out = ODO.odometry_step(ostate, feats, cfg, jnp.asarray(True))
+            new_map, m_out = MAP.mapping_step(
+                mstate, odo_out["corner_cloud"], odo_out["surf_cloud"],
+                odo_out["pose"], cfg)
+            return new_odo, new_map, m_out["pose"], odo_out["pose"]
+
+        def front_assoc(ostate, mstate, xyzw, start_ori):
+            feats = process_sweep(xyzw[:, 0:3], xyzw[:, 3] > 0.5, cfg, start_ori)
+            new_odo, odo_out = ODO.odometry_step(ostate, feats, cfg, jnp.asarray(True))
+            pose = (mstate.pose @ (mstate.pose_bef.inverse() @ odo_out["pose"])).normalized()
+            return new_odo, pose, odo_out["pose"]
+
+        self._front_map = jax.jit(front_map)
+        self._front_assoc = jax.jit(front_assoc)
 
     def process(self, xyz: np.ndarray, mask: np.ndarray) -> dict:
         cfg = self.cfg
@@ -335,21 +378,17 @@ class LoamPipeline:
             start_ori = jnp.asarray(
                 self._start_ori_tracker.update(raw_start_ori(xyz, mask)),
                 self.dtype)
-        feats = process_sweep(
-            jnp.asarray(xyz, self.dtype), jnp.asarray(mask), cfg, start_ori)
-        self.odom_state, odo_out = self._odo_step(
-            self.odom_state, feats, jnp.asarray(True))
+        xyzw = LioPipeline._pack_xyzw(xyz, mask, self.dtype)
         self.frame_count += 1
 
         if self.frame_count % cfg.odometry.io_ratio == 0:
-            self.map_state, m_out = MAP.mapping_step(
-                self.map_state, odo_out["corner_cloud"], odo_out["surf_cloud"],
-                odo_out["pose"], cfg)
-            pose = m_out["pose"]
+            self.odom_state, self.map_state, pose, odom_pose = self._front_map(
+                self.odom_state, self.map_state, xyzw, start_ori)
         else:
-            pose = self._associate(self.map_state, odo_out["pose"])
+            self.odom_state, pose, odom_pose = self._front_assoc(
+                self.odom_state, self.map_state, xyzw, start_ori)
         return {"stage": "LOAM", "laser_pose": pose,
-                "odom_pose": odo_out["pose"]}
+                "odom_pose": odom_pose}
 
     def save(self, path: str):
         from ..io import checkpoint as CKPT

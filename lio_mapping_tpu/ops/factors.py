@@ -29,13 +29,47 @@ from . import preintegration as PI
 from .preintegration import O_BA, O_BG, O_P, O_R, O_V, Preintegration
 
 
+def chol_unrolled(a: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled Cholesky-Crout of one small SPD matrix (static n).
+
+    ``jnp.linalg.cholesky`` + ``inv`` on TPU lower to blocked custom-call
+    loops that cost ~1 ms for a batch of 7 15x15 matrices — pure latency.
+    The unrolled column recurrence is ~n fused vector ops instead.
+    """
+    n = a.shape[-1]
+    dtype = a.dtype
+    l = jnp.zeros_like(a)
+    rows = jnp.arange(n)
+    for j in range(n):
+        # v = a[:, j] - sum_{k<j} l[:, k] l[j, k]  (cols >= j of l are 0)
+        v = a[:, j] - l @ l[j]
+        d = jnp.sqrt(jnp.maximum(v[j], 1e-30))
+        col = jnp.where(rows >= j, v / d, jnp.zeros((), dtype))
+        l = l.at[:, j].set(col)
+    return l
+
+
+def tri_lower_inverse(l: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled forward substitution: inverse of a lower-triangular matrix."""
+    n = l.shape[-1]
+    w = jnp.zeros_like(l)
+    eye = jnp.eye(n, dtype=l.dtype)
+    for i in range(n):
+        row = (eye[i] - l[i] @ w) / l[i, i]
+        w = w.at[i].set(row)
+    return w
+
+
 def sqrt_info_from_covariance(cov: jnp.ndarray) -> jnp.ndarray:
-    """LLT(cov^-1).L^T whitening matrix (ImuFactor.h:74-75)."""
-    cov_inv = jnp.linalg.inv(cov)
-    # symmetrize for numerical safety before cholesky
-    cov_inv = 0.5 * (cov_inv + cov_inv.T)
-    l = jnp.linalg.cholesky(cov_inv)
-    return l.T
+    """Whitening matrix W with W^T W = cov^-1 (ImuFactor.h:74-75).
+
+    The reference uses LLT(cov^-1).matrixL().T; here W = L^-1 with
+    L = chol(cov) — whitening is defined up to a left-orthogonal factor,
+    so normal equations, residual norms, and all costs are identical,
+    while skipping the explicit 15x15 inverse. Both factors come from the
+    unrolled kernels above (no TPU custom calls)."""
+    l = chol_unrolled(0.5 * (cov + cov.T))
+    return tri_lower_inverse(l)
 
 
 def imu_factor(

@@ -51,6 +51,34 @@ class ImuSamples(NamedTuple):
         )
 
 
+def pack_samples_np(dts, accs, gyrs, acc0, gyr0, capacity: int):
+    """Host-side packing of one frame's IMU batch into ONE (M+1, 7) array.
+
+    Row 0 = [0, acc0, gyr0]; rows 1..M = [dt, acc, gyr] (dt=0 padding).
+    One packed array = one host->device transfer per sweep instead of
+    five — on a tunneled TPU each transfer serializes with compute on the
+    device queue, so transfer count is wall-clock (measured ~0.12 ms each).
+    """
+    import numpy as np
+
+    n = len(dts)
+    assert n <= capacity, f"too many IMU samples per frame: {n} > {capacity}"
+    out = np.zeros((capacity + 1, 7), np.float32)
+    out[0, 1:4] = acc0
+    out[0, 4:7] = gyr0
+    out[1:n + 1, 0] = dts
+    out[1:n + 1, 1:4] = accs
+    out[1:n + 1, 4:7] = gyrs
+    return out
+
+
+def unpack_samples(packed) -> "ImuSamples":
+    """Inverse of :func:`pack_samples_np` (works on device, inside jit)."""
+    return ImuSamples(
+        acc0=packed[0, 1:4], gyr0=packed[0, 4:7],
+        dt=packed[1:, 0], acc=packed[1:, 1:4], gyr=packed[1:, 4:7])
+
+
 class Preintegration(NamedTuple):
     delta_p: jnp.ndarray       # (3,)
     delta_q: jnp.ndarray       # (4,) wxyz

@@ -32,6 +32,42 @@ def test_simulate_export_evaluate(tmp_path, capsys):
     assert "ATE RMSE: 0.0000" in out
 
 
+def test_plot_traj_and_viz_normals(tmp_path, capsys):
+    """Visualizer-parity surfaces: euler dashboards + normals PLY export."""
+    log = str(tmp_path / "seq.liol")
+    gt = str(tmp_path / "gt.tum")
+    png = str(tmp_path / "dash.png")
+    csv = str(tmp_path / "euler.csv")
+    ply = str(tmp_path / "normals.ply")
+    map_ply = str(tmp_path / "map.ply")
+
+    cli.main(["simulate", "--out", log, "--sweeps", "6",
+              "--azimuth", "240", "--gt-out", gt])
+    assert cli.main(["plot-traj", "--est", gt, "--gt", gt, "--out", png,
+                     "--euler-csv", csv]) == 0
+    with open(csv) as f:
+        header = f.readline().strip()
+    assert header == "t,yaw_deg,pitch_deg,roll_deg"
+    assert len(open(csv).readlines()) == 7
+    import os
+
+    assert os.path.getsize(png) > 1000
+
+    assert cli.main(["viz-normals", "--log", log, "--traj", gt,
+                     "--out", ply, "--map-out", map_ply,
+                     "--frames", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "features with normals" in out
+    with open(ply) as f:
+        head = f.read(400)
+    assert "property float nx" in head and "property float quality" in head
+    # normals are unit-ish
+    rows = np.loadtxt(ply, skiprows=11)
+    if rows.ndim == 2 and len(rows):
+        n = rows[:, 3:6]
+        np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-2)
+
+
 def test_trajectory_matches_log_timestamps(tmp_path):
     """Every sweep in the log finds a trajectory pose within half a scan
     period (the export-pcd association contract)."""

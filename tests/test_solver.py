@@ -122,8 +122,8 @@ class TestWindowSolver:
         groups = SV._evaluate(
             x_gt, pres, jnp.asarray([0.0, 0.0, -G]), planes, prior, None,
             {"cauchy_scale": 1.0}, 3)
-        j, r, w = groups["plane"]
-        np.testing.assert_allclose(np.asarray(r * w), 0.0, atol=1e-6)
+        pg = groups["plane"]
+        np.testing.assert_allclose(np.asarray(pg.r * pg.w), 0.0, atol=1e-6)
         j, r, w = groups["imu"]
         assert float(jnp.max(jnp.abs(r * w))) < 0.5  # whitened, small
 

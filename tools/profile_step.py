@@ -62,7 +62,8 @@ def main():
     t_feat = timeit(feat, mapc, mmask, stack, smask, lq, lt)
     print(f"calculate_features 1x: {t_feat:.2f} ms  (x{s_opt - 1} frames = {t_feat * (s_opt - 1):.1f})")
 
-    lodom = jax.jit(lambda *a: E._calculate_laser_odom(*a, cfg))
+    lodom = jax.jit(lambda mx, mm, sx, sm, q, t: E._calculate_laser_odom(
+        (mx, mm), (sx, sm), q, t, cfg))
     t_lo = timeit(lodom, mapc, mmask, stack, smask, lq, lt)
     print(f"calculate_laser_odom (<=10 GN iters): {t_lo:.2f} ms")
 
