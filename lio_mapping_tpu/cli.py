@@ -23,9 +23,13 @@ import sys
 import numpy as np
 
 
-def _profile(name: str):
-    from .config import LioConfig
+def _profile(name: str, config_path: str = None):
+    """Named profile, or a YAML profile file (the reference's
+    cv::FileStorage config mechanism, estimator_node.cc:62-140)."""
+    from .config import LioConfig, load_yaml
 
+    if config_path:
+        return load_yaml(config_path)
     return {"indoor": LioConfig.indoor, "outdoor": LioConfig.outdoor,
             "outdoor_64": LioConfig.outdoor_64}[name]()
 
@@ -79,7 +83,7 @@ def cmd_run(args):
     from .models.pipeline import LioPipeline, LoamPipeline
     from .utils.timing import StageTimer, device_trace
 
-    cfg = _profile(args.profile)
+    cfg = _profile(args.profile, getattr(args, "config", None))
     if args.mode == "loam":
         pipe = LoamPipeline(cfg, dtype=jnp.float32)
     else:
@@ -403,6 +407,9 @@ def main(argv=None):
     p.add_argument("--log", required=True)
     p.add_argument("--profile", default="indoor",
                    choices=["indoor", "outdoor", "outdoor_64"])
+    p.add_argument("--config", default=None,
+                   help="YAML profile file overriding --profile "
+                        "(configs/*.yaml format)")
     p.add_argument("--out", required=True)
     p.add_argument("--map-out", default=None)
     p.add_argument("--mode", default="lio", choices=["lio", "loam"],

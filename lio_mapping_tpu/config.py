@@ -296,6 +296,16 @@ def load_yaml(path: str) -> LioConfig:
     with open(path) as f:
         raw = yaml.safe_load(f)
 
+    # YAML sequences arrive as lists; config fields must be hashable
+    # tuples (LioConfig is a static jit argument)
+    def tuplify(x):
+        if isinstance(x, list):
+            return tuple(tuplify(v) for v in x)
+        if isinstance(x, dict):
+            return {k: tuplify(v) for k, v in x.items()}
+        return x
+
+    raw = tuplify(raw)
     base = LioConfig()
     sensor = dataclasses.replace(base.sensor, **raw.get("sensor", {}))
     feature = dataclasses.replace(base.feature, **raw.get("feature", {}))

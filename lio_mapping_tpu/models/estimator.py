@@ -636,5 +636,6 @@ def lio_step(
         "costs": costs0,
         "convergence": convergence_flag,
         "n_features": diag.n_plane,
+        "solver_iterations": diag.iterations,
     }
     return st, outputs

@@ -32,6 +32,22 @@ def test_simulate_export_evaluate(tmp_path, capsys):
     assert "ATE RMSE: 0.0000" in out
 
 
+def test_yaml_profiles_match_presets():
+    """configs/*.yaml (the reference's cv::FileStorage mechanism) must load
+    hashable (jit-static) and stay in sync with the coded presets."""
+    import os
+
+    from lio_mapping_tpu.config import LioConfig, load_yaml
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    presets = {"indoor": LioConfig.indoor, "outdoor": LioConfig.outdoor,
+               "outdoor_64": LioConfig.outdoor_64}
+    for name, preset in presets.items():
+        cfg = load_yaml(os.path.join(root, f"{name}.yaml"))
+        hash(cfg)  # static-arg requirement
+        assert cfg == preset(), f"configs/{name}.yaml drifted from preset"
+
+
 def test_plot_traj_and_viz_normals(tmp_path, capsys):
     """Visualizer-parity surfaces: euler dashboards + normals PLY export."""
     log = str(tmp_path / "seq.liol")
