@@ -378,12 +378,17 @@ def cmd_viz_normals(args):
 
 
 def cmd_evaluate(args):
-    from .io.evaluation import evaluate_trajectory, load_tum
+    from .io.evaluation import associate_by_time, evaluate_trajectory, load_tum
 
     t_e, q_e, p_e = load_tum(args.est)
     t_g, q_g, p_g = load_tum(args.gt)
-    n = min(len(t_e), len(t_g))
-    m = evaluate_trajectory(q_e[:n], p_e[:n], q_g[:n], p_g[:n])
+    ei, gi = associate_by_time(t_e, t_g, max_dt=args.max_dt)
+    if len(ei) < 2:
+        print(f"only {len(ei)} timestamp matches within {args.max_dt}s — "
+              "check the trajectories' time bases")
+        return 1
+    m = evaluate_trajectory(q_e[ei], p_e[ei], q_g[gi], p_g[gi])
+    print(f"matched {len(ei)}/{len(t_e)} poses by timestamp (max_dt {args.max_dt}s)")
     print(f"ATE RMSE: {m.ate_rmse:.4f} m  mean {m.ate_mean:.4f}  max {m.ate_max:.4f}")
     print(f"RPE: {m.rpe_trans_rmse:.4f} m / {m.rpe_rot_rmse_deg:.3f} deg over {m.n_poses} poses")
     return 0
@@ -457,6 +462,8 @@ def main(argv=None):
     p = sub.add_parser("evaluate")
     p.add_argument("--est", required=True)
     p.add_argument("--gt", required=True)
+    p.add_argument("--max-dt", type=float, default=0.02,
+                   help="max |dt| for nearest-timestamp pose association")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("plot-traj")

@@ -82,6 +82,44 @@ def evaluate_trajectory(
     )
 
 
+def associate_by_time(
+    t_est: np.ndarray, t_gt: np.ndarray, max_dt: float = 0.02,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Nearest-timestamp pairing of two trajectories (the TUM association
+    convention): for each estimate stamp, the closest ground-truth stamp
+    within ``max_dt``; each ground-truth pose is used at most once.
+
+    Returns (est_idx, gt_idx) index arrays of equal length. Robust to
+    dropped/extra frames (e.g. LIO init frames missing from the estimate)
+    where index-truncation pairing would silently misalign every
+    subsequent pose.
+    """
+    t_est = np.asarray(t_est, np.float64)
+    t_gt = np.asarray(t_gt, np.float64)
+    order = np.argsort(t_gt)
+    t_gt_sorted = t_gt[order]
+    pos = np.searchsorted(t_gt_sorted, t_est)
+    lo = np.clip(pos - 1, 0, len(t_gt_sorted) - 1)
+    hi = np.clip(pos, 0, len(t_gt_sorted) - 1)
+    pick = np.where(
+        np.abs(t_gt_sorted[hi] - t_est) < np.abs(t_gt_sorted[lo] - t_est),
+        hi, lo)
+    dt = np.abs(t_gt_sorted[pick] - t_est)
+    est_idx, gt_idx, used = [], [], set()
+    for i in np.argsort(dt):  # greedily keep the best matches
+        if dt[i] > max_dt:
+            break
+        g = int(order[pick[i]])
+        if g in used:
+            continue
+        used.add(g)
+        est_idx.append(int(i))
+        gt_idx.append(g)
+    sel = np.argsort(est_idx)
+    return (np.asarray(est_idx, np.int64)[sel],
+            np.asarray(gt_idx, np.int64)[sel])
+
+
 def save_tum(path: str, times: Sequence[float], qs: np.ndarray, ts: np.ndarray):
     """Write a TUM-format trajectory file (t x y z qx qy qz qw)."""
     with open(path, "w") as f:
