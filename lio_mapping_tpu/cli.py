@@ -87,7 +87,15 @@ def cmd_run(args):
     if args.mode == "loam":
         pipe = LoamPipeline(cfg, dtype=jnp.float32)
     else:
-        pipe = LioPipeline(cfg, dtype=jnp.float32)
+        mesh = None
+        if args.mesh:
+            from .parallel import lio_dist
+
+            mesh = lio_dist.make_mesh(args.mesh)
+            print(f"distributed estimator over {mesh.devices.size} devices"
+                  f"{' (map-sharded)' if args.map_shard else ''}")
+        pipe = LioPipeline(cfg, dtype=jnp.float32, mesh=mesh,
+                           map_shard=args.map_shard)
     if args.resume:
         pipe.load(args.resume)
         print(f"resumed from {args.resume} (frame {pipe.frame_count})")
@@ -130,7 +138,8 @@ def cmd_run(args):
         pose = out.get("laser_pose")
         if pose is None:
             return
-        if mb_state is not None and out.get("stage") == "INITED":
+        if mb_state is not None and out.get("stage") == "INITED" \
+                and "corner_cloud" in out and not out.get("predicted"):
             with timer.stage("map_builder"):
                 mb_state, mb_out = MB.map_builder_step(
                     mb_state, out["corner_cloud"], out["surf_cloud"], pose, cfg)
@@ -143,7 +152,8 @@ def cmd_run(args):
         times.append(t)
         qs.append(np.asarray(pose.q))
         ts.append(np.asarray(pose.t))
-        if global_map is not None and out.get("stage") in ("INITED", "LOAM"):
+        if global_map is not None and out.get("stage") in ("INITED", "LOAM") \
+                and not out.get("predicted"):
             from .utils import quaternion as quat
 
             with timer.stage("global_map"):
@@ -364,7 +374,7 @@ def cmd_viz_normals(args):
         e.surf_filter_size, e.surf_stack_cap)
     in_fov = jnp.ones(q_xyz.shape[:1], bool)
     coeff, score, ok = EST._surf_rows(
-        map_xyz, map_mask, q_xyz, q_mask, in_fov, cfg)
+        EST.make_knn5(map_xyz, map_mask, cfg), q_xyz, q_mask, in_fov, cfg)
 
     okn = np.asarray(ok)
     s_np = np.asarray(score)[okn]
@@ -435,6 +445,12 @@ def main(argv=None):
     p.add_argument("--checkpoint-out", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", default=None)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="run the estimator step distributed over this many "
+                        "devices (full lio_step under shard_map)")
+    p.add_argument("--map-shard", action="store_true",
+                   help="with --mesh: shard the local map too "
+                        "(ppermute-ring association)")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("bag-info")

@@ -138,7 +138,10 @@ class ImuConfig:
     acc_w: float = 2.0e-4
     gyr_w: float = 2.0e-5
     g_norm: float = 9.805
-    max_imu_per_frame: int = 32  # samples per 0.1 s sweep at <=320 Hz
+    # samples per CONSUMED frame: the estimator's preintegration interval
+    # spans io_ratio sweeps (odom_io 2/3) — and during initialization
+    # io_ratio * init_window_factor sweeps — at IMU rates up to ~200 Hz
+    max_imu_per_frame: int = 96
 
 
 @dataclass(frozen=True)
@@ -169,9 +172,13 @@ class EstimatorConfig:
     point_distance_factor: bool = True
     prior_factor: bool = False
     marginalization_factor: bool = True
+    # estimator consume cadence: clouds every odom_io-th sweep
+    # (odometry_node.cc:50 io_ratio / `odom_io` yaml)
     odom_io: int = 2
     enable_deskew: bool = True
     cutoff_deskew: bool = False
+    # newest-frame mini-GN association rounds accumulate into the factor
+    # set (Estimator.cc:978; indoor profile sets it)
     keep_features: bool = True
     msg_time_delay: float = 0.05
     # compile-time variants of the reference (Estimator.h:55-56): corner
@@ -179,11 +186,12 @@ class EstimatorConfig:
     # for the local-map build
     use_corner: bool = False
     fix_map: bool = False
-    # association-pose refinement budget for the newest frame when the IMU
-    # factor is on (0 = reference parity: associate at the IMU-predicted
-    # pose, Estimator.cc:1560-1570). Each iteration is one serial KNN+fit
-    # round of the CalculateLaserOdom mini-GN; small budgets recover most
-    # of its f32 accuracy benefit at a fraction of the cost.
+    # CalculateLaserOdom GN budget for the newest frame when the IMU
+    # factor is on (Estimator.cc:1561 routes it to the mini-GN in that
+    # case; reference budget num_max_iterations_ = 10 with early abort at
+    # 0.05deg/0.05cm). Each iteration is one serial KNN+fit association
+    # round; small budgets recover most of the accuracy at a fraction of
+    # the cost.
     newest_refine_iters: int = 2
 
     imu: ImuConfig = field(default_factory=ImuConfig)

@@ -244,3 +244,75 @@ def gt_sensor_pose(traj: Trajectory, t: float, extrinsic_lb=None):
     else:
         rot_ws, p_ws = rot_wb, p_wb
     return np.roll(rot_ws.as_quat(), 1), p_ws
+
+
+def synthetic_estimator_state(cfg, traj: Trajectory, dtype=None,
+                              n_azimuth: int = 540):
+    """Fabricate an INITED ``EstimatorState`` from ground truth.
+
+    Fills the full sliding window — GT body poses/velocities, per-frame
+    surf stacks (voxel-downsampled synthetic sweeps in their own laser
+    frames), exact preintegrations and raw IMU buffers — without running
+    the odometry/initializer pipeline. Requires an identity extrinsic
+    (body == laser). Used by the distributed-step equivalence tests and
+    ``__graft_entry__.dryrun_multichip``; returns
+    (state, t_next) with ``t_next`` the start time of the next sweep.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import estimator as EST
+    from ..ops import preintegration as PI
+    from ..ops import voxel as VX
+
+    e = cfg.estimator
+    dtype = dtype or jnp.float32
+    w1 = e.window_size + 1
+    dt = cfg.sensor.scan_period * max(1, e.odom_io)
+    m = e.imu.max_imu_per_frame
+    state = EST.init_state(cfg, dtype)
+    noise18 = PI.noise_matrix(e.imu.acc_n, e.imu.gyr_n, e.imu.acc_w,
+                              e.imu.gyr_w, dtype)
+
+    times = [0.5 + i * dt for i in range(w1)]
+    qs, ps, vs, stacks_x, stacks_m, pres, imus = [], [], [], [], [], [], []
+    for i, t in enumerate(times):
+        rot, p, v, _, _ = traj.pose(t)
+        qs.append(np.roll(rot.as_quat(), 1))
+        ps.append(p)
+        vs.append(v)
+        xyz, mask = simulate_sweep(
+            traj, t - cfg.sensor.scan_period, n_azimuth=n_azimuth,
+            n_rings=cfg.sensor.n_rings, lower_deg=cfg.sensor.lower_bound_deg,
+            upper_deg=cfg.sensor.upper_bound_deg)
+        sx, sm, _ = VX.voxel_downsample(
+            jnp.asarray(xyz, dtype), jnp.asarray(mask),
+            e.surf_filter_size, e.surf_stack_cap)
+        stacks_x.append(sx)
+        stacks_m.append(sm)
+        if i == 0:
+            pres.append(PI.Preintegration.identity(dtype))
+            imus.append(PI.ImuSamples.empty(m, dtype))
+        else:
+            ts, acc, gyr = simulate_imu_interval(traj, times[i - 1], t, 200.0)
+            a0, w0 = traj.imu(times[i - 1])
+            dts = np.diff(np.concatenate([[times[i - 1]], ts]))
+            packed = PI.pack_samples_np(dts, acc, gyr, a0, w0, m)
+            samples = PI.unpack_samples(jnp.asarray(packed, dtype))
+            imus.append(samples)
+            pres.append(PI.integrate(samples, jnp.zeros(3, dtype),
+                                     jnp.zeros(3, dtype), noise18))
+
+    state = state._replace(
+        qs=jnp.asarray(np.stack(qs), dtype),
+        ps=jnp.asarray(np.stack(ps), dtype),
+        vs=jnp.asarray(np.stack(vs), dtype),
+        qs_lin=jnp.asarray(np.stack(qs), dtype),
+        ps_lin=jnp.asarray(np.stack(ps), dtype),
+        pres=jax.tree.map(lambda *a: jnp.stack(a), *pres),
+        imu=jax.tree.map(lambda *a: jnp.stack(a), *imus),
+        surf_xyz=jnp.stack(stacks_x),
+        surf_mask=jnp.stack(stacks_m),
+        g_vec=jnp.asarray([0.0, 0.0, -traj.g_norm], dtype),
+    )
+    return state, times[-1] + dt

@@ -23,9 +23,9 @@ program, what the reference spreads over threads + Ceres:
 9.  Slide (implicit: the next push drops the oldest frame).
 
 Documented deviations from the reference:
-* ``keep_features`` accumulation across CalculateLaserOdom iterations is
-  not reproduced — only final-iteration associations feed the solver.
 * Degeneracy projection removes true eigen-directions (see ops/gn.py).
+* The newest-frame mini-GN budget (``newest_refine_iters``) defaults below
+  the reference's 10 iterations; early abort matches (0.05deg/0.05cm).
 """
 
 from __future__ import annotations
@@ -165,15 +165,41 @@ def _fov_ok(point_sel, local_q, local_t):
     return (check1 < 0) & (check2 > 0)
 
 
-def _surf_rows(map_xyz, map_mask, point_sel, sel_mask, in_fov, cfg: LioConfig):
+def make_knn5(map_xyz, map_mask, cfg: LioConfig, axis=None):
+    """5-NN closure over a local map: (point_sel, sel_mask) ->
+    (sq_d (N,5), neighbors (N,5,3)).
+
+    ``axis``: when set, ``map_xyz`` is this device's BLOCK of a map sharded
+    over the mesh axis and the search runs the ppermute ring
+    (parallel/map_sharded.ring_knn) — neighbors carry coordinates so the
+    downstream fits stay device-local. Otherwise a plain replicated-map
+    tiled search.
+    """
+    e = cfg.estimator
+
+    if axis is None:
+        def knn5(point_sel, sel_mask):
+            sq_d, idx = KNN.knn(point_sel, sel_mask, map_xyz, map_mask, k=5,
+                                prune_beyond=e.min_match_sq_dis)
+            return sq_d, map_xyz[idx]
+    else:
+        from ..parallel.map_sharded import ring_knn
+
+        def knn5(point_sel, sel_mask):
+            sq_d, _, neighbors = ring_knn(
+                point_sel, sel_mask, map_xyz, map_mask, k=5, axis=axis,
+                prune_beyond=e.min_match_sq_dis)
+            return sq_d, neighbors
+    return knn5
+
+
+def _surf_rows(knn5, point_sel, sel_mask, in_fov, cfg: LioConfig):
     """Row-wise 5-NN plane association core (Estimator.cc:1014-1097) over
     pre-transformed pivot-frame queries of any leading length."""
     e = cfg.estimator
-    sq_d, idx = KNN.knn(point_sel, sel_mask, map_xyz, map_mask, k=5,
-                        prune_beyond=e.min_match_sq_dis)
+    sq_d, neighbors = knn5(point_sel, sel_mask)
     nn_ok = sq_d[:, 4] < e.min_match_sq_dis
 
-    neighbors = map_xyz[idx]  # (N, 5, 3)
     w, d, plane_ok = plane_fit(neighbors, nn_ok, e.min_plane_dis)
 
     pd2 = jnp.sum(w * point_sel, axis=-1) + d
@@ -186,7 +212,7 @@ def _surf_rows(map_xyz, map_mask, point_sel, sel_mask, in_fov, cfg: LioConfig):
 
 
 def _calculate_features(
-    map_xyz, map_mask,          # local map (pivot frame)
+    knn5,                       # local-map 5-NN closure (make_knn5)
     stack_xyz, stack_mask,      # frame stack (own laser frame)
     local_q, local_t,           # T_pivot_i (frame -> pivot)
     cfg: LioConfig,
@@ -198,10 +224,10 @@ def _calculate_features(
     """
     point_sel = quat.rotate(local_q[None, :], stack_xyz) + local_t[None, :]
     in_fov = _fov_ok(point_sel, local_q, local_t)
-    return _surf_rows(map_xyz, map_mask, point_sel, stack_mask, in_fov, cfg)
+    return _surf_rows(knn5, point_sel, stack_mask, in_fov, cfg)
 
 
-def _corner_rows(map_xyz, map_mask, point_sel, sel_mask, in_fov, cfg: LioConfig):
+def _corner_rows(knn5, point_sel, sel_mask, in_fov, cfg: LioConfig):
     """Row-wise corner association core (Estimator.cc:1099-1232): 5-NN line
     fit (accept when l_max > 3 l_mid), then the point-to-line constraint is
     decomposed into TWO half-weighted plane-style features: one along the
@@ -213,11 +239,10 @@ def _corner_rows(map_xyz, map_mask, point_sel, sel_mask, in_fov, cfg: LioConfig)
     Returns (coeff1 (N,4), coeff2 (N,4), s (N,), ok (N,)).
     """
     e = cfg.estimator
-    sq_d, idx = KNN.knn(point_sel, sel_mask, map_xyz, map_mask, k=5,
-                        prune_beyond=e.min_match_sq_dis)
+    sq_d, neighbors = knn5(point_sel, sel_mask)
     nn_ok = sq_d[:, 4] < e.min_match_sq_dis
 
-    centroid, direction, line_ok = line_fit(map_xyz[idx], nn_ok)
+    centroid, direction, line_ok = line_fit(neighbors, nn_ok)
     ld2, n = point_to_line_residual(point_sel, centroid, direction)
     # (X1 - X2) x normal_to_point with X1/2 = c ± 0.1 u (Estimator.cc:1160)
     ncp = jnp.cross(0.2 * direction, n)
@@ -236,29 +261,30 @@ def _corner_rows(map_xyz, map_mask, point_sel, sel_mask, in_fov, cfg: LioConfig)
 
 
 def _calculate_corner_features(
-    map_xyz, map_mask, stack_xyz, stack_mask, local_q, local_t, cfg: LioConfig,
+    knn5, stack_xyz, stack_mask, local_q, local_t, cfg: LioConfig,
 ):
     """Corner association for one frame (see _corner_rows)."""
     point_sel = quat.rotate(local_q[None, :], stack_xyz) + local_t[None, :]
     in_fov = _fov_ok(point_sel, local_q, local_t)
-    return _corner_rows(map_xyz, map_mask, point_sel, stack_mask, in_fov, cfg)
+    return _corner_rows(knn5, point_sel, stack_mask, in_fov, cfg)
 
 
-def _associate_frame(maps, stacks, local_q, local_t, cfg: LioConfig):
+def _associate_frame(assoc, stacks, local_q, local_t, cfg: LioConfig):
     """All feature rows for one frame against the local map(s).
 
-    ``maps`` = (surf_xyz, surf_mask[, corner_xyz, corner_mask]);
-    ``stacks`` likewise for the frame's own stacks. Returns
-    (points (F,3), coeff (F,4), ok (F,)) with F = C_surf (+ 2*C_corner):
-    corner points contribute two rows each (Estimator.cc:1216-1228), and
-    the factor form downstream is identical for all rows.
+    ``assoc`` = (surf_knn5[, corner_knn5]) closures from :func:`make_knn5`;
+    ``stacks`` = (surf_xyz, surf_mask[, corner_xyz, corner_mask]) for the
+    frame's own stacks. Returns (points (F,3), coeff (F,4), ok (F,)) with
+    F = C_surf (+ 2*C_corner): corner points contribute two rows each
+    (Estimator.cc:1216-1228), and the factor form downstream is identical
+    for all rows.
     """
     coeff_s, _, ok_s = _calculate_features(
-        maps[0], maps[1], stacks[0], stacks[1], local_q, local_t, cfg)
+        assoc[0], stacks[0], stacks[1], local_q, local_t, cfg)
     if not cfg.estimator.use_corner:
         return stacks[0], coeff_s, ok_s
     c1, c2, _, ok_c = _calculate_corner_features(
-        maps[2], maps[3], stacks[2], stacks[3], local_q, local_t, cfg)
+        assoc[1], stacks[2], stacks[3], local_q, local_t, cfg)
     pts = jnp.concatenate([stacks[0], stacks[2], stacks[2]], axis=0)
     coeff = jnp.concatenate([coeff_s, c1, c2], axis=0)
     ok = jnp.concatenate([ok_s, ok_c, ok_c], axis=0)
@@ -267,35 +293,69 @@ def _associate_frame(maps, stacks, local_q, local_t, cfg: LioConfig):
 
 
 
-def _calculate_laser_odom(maps, stacks, local_q, local_t, cfg: LioConfig,
-                          n_iters: int = 10):
+def _calculate_laser_odom(assoc, stacks, local_q, local_t, cfg: LioConfig,
+                          n_iters: int = 10, axis: str = None):
     """Mini scan-to-local-map GN for the newest frame
-    (CalculateLaserOdom, Estimator.cc:1242-1359). Returns refined local pose
-    + final features (surf + corner rows when use_corner).
+    (CalculateLaserOdom, Estimator.cc:1242-1359). Runs when the IMU factor
+    is ON (Estimator.cc:1561: ``idx != window_size || !imu_factor`` routes
+    the newest frame here in that case); with it off the newest frame gets
+    a plain CalculateFeatures association like the others.
 
-    ``n_iters``: GN budget (PointMapping default num_max_iterations_ = 10
-    for the LiDAR-only path; the LIO path uses the cheaper
-    ``newest_refine_iters``)."""
+    ``n_iters``: GN budget (the reference's PointMapping
+    ``num_max_iterations_`` = 10; ``newest_refine_iters`` exposes it).
+
+    ``keep_features`` (Estimator.cc:978, indoor profile): each iteration's
+    CalculateFeatures rows ACCUMULATE — iteration k's GN solves over the
+    union of rounds 0..k, and the union feeds the window solver. With it
+    off, only the last executed round's rows survive (features.clear()).
+
+    Returns (lq, lt, pts, coeff_acc (n_iters, F, 4), ok_acc (n_iters, F),
+    n_exec): per-round association rows (rounds never executed due to the
+    early abort stay masked) and the executed-round count. The caller
+    selects row set n_exec-1 as the newest frame's features and, when
+    keep_features, the earlier rounds as extra factor rows.
+
+    ``axis``: set when running under shard_map with the stack rows sharded
+    over the mesh — the 6x6 normal equations psum-reduce so every device
+    walks the identical GN path.
+    """
     e = cfg.estimator
     dtype = local_t.dtype
+    n_rows = stacks[0].shape[0] + (2 * stacks[2].shape[0] if e.use_corner else 0)
 
     def body(carry):
-        it, done, lq, lt, proj, degen = carry
-        pts, coeff, ok = _associate_frame(maps, stacks, lq, lt, cfg)
+        it, done, lq, lt, proj, degen, coeff_acc, ok_acc = carry
+        pts, coeff, ok = _associate_frame(assoc, stacks, lq, lt, cfg)
+        coeff_acc = jax.lax.dynamic_update_index_in_dim(coeff_acc, coeff, it, 0)
+        ok_acc = jax.lax.dynamic_update_index_in_dim(ok_acc, ok, it, 0)
 
-        w = coeff[:, :3]
+        if e.keep_features:
+            # GN over the union of all accumulated rounds (rows of rounds
+            # > it are still all-masked)
+            w = coeff_acc[..., :3].reshape(-1, 3)
+            b = coeff_acc[..., 3].reshape(-1)
+            wrow = ok_acc.reshape(-1).astype(dtype)
+            pts_gn = jnp.tile(pts, (n_iters, 1))
+        else:
+            w = coeff[:, :3]
+            b = coeff[:, 3]
+            wrow = ok.astype(dtype)
+            pts_gn = pts
+
         rot = quat.to_matrix(lq)
         # J_r = -w^T (R [p]_x), J_t = w^T (Estimator.cc:1289-1290)
-        j_r = -jnp.einsum("ni,nij->nj", w, rot @ quat.skew(pts))
+        j_r = -jnp.einsum("ni,nij->nj", w, rot @ quat.skew(pts_gn))
         j_t = w
         jac = jnp.concatenate([j_r, j_t], axis=1)
-        d2 = jnp.sum(w * (quat.rotate(lq[None, :], pts) + lt[None, :]), axis=-1) + coeff[:, 3]
+        d2 = jnp.sum(w * (quat.rotate(lq[None, :], pts_gn) + lt[None, :]), axis=-1) + b
         rhs = -d2
-        wrow = ok.astype(dtype)
 
         jw = jac * wrow[:, None]
         ata = jw.T @ jac
         atb = jw.T @ rhs
+        if axis is not None:
+            ata = jax.lax.psum(ata, axis)
+            atb = jax.lax.psum(atb, axis)
         x = jnp.linalg.solve(ata + 1e-9 * jnp.eye(6, dtype=dtype), atb)
 
         first = it == 0
@@ -315,18 +375,26 @@ def _calculate_laser_odom(maps, stacks, local_q, local_t, cfg: LioConfig,
         delta_r = jnp.rad2deg(quat.angular_distance(lq, lq_new))
         delta_t = jnp.linalg.norm(x[3:6]) * 100.0
         done = (delta_r < 0.05) & (delta_t < 0.05)
-        return (it + 1, done, lq_new, lt_new, proj, degen)
+        return (it + 1, done, lq_new, lt_new, proj, degen, coeff_acc, ok_acc)
 
     def cond(carry):
         it, done, *_ = carry
         return (it < n_iters) & (~done)
 
     carry = (jnp.asarray(0), jnp.asarray(False), local_q, local_t,
-             jnp.eye(6, dtype=dtype), jnp.asarray(False))
-    _, _, lq, lt, _, _ = jax.lax.while_loop(cond, body, carry)
+             jnp.eye(6, dtype=dtype), jnp.asarray(False),
+             jnp.zeros((n_iters, n_rows, 4), dtype),
+             jnp.zeros((n_iters, n_rows), bool))
+    n_exec, _, lq, lt, _, _, coeff_acc, ok_acc = jax.lax.while_loop(
+        cond, body, carry)
+    return lq, lt, _stack_points(stacks, cfg), coeff_acc, ok_acc, n_exec
 
-    pts, coeff, ok = _associate_frame(maps, stacks, lq, lt, cfg)
-    return lq, lt, pts, coeff, ok
+
+def _stack_points(stacks, cfg: LioConfig):
+    """The point rows matching one _associate_frame round's layout."""
+    if not cfg.estimator.use_corner:
+        return stacks[0]
+    return jnp.concatenate([stacks[0], stacks[2], stacks[2]], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -341,14 +409,26 @@ def _calculate_laser_odom(maps, stacks, local_q, local_t, cfg: LioConfig,
 _TRUNCATE_STAGE = None
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def lio_step(
+def lio_step_impl(
     state: EstimatorState,
     surf_cloud: Cloud,          # new sweep's less-flat features (laser frame, skewed)
     samples: PI.ImuSamples,     # IMU over (t_{k-1}, t_k]
     cfg: LioConfig,
     corner_cloud: Cloud = None,  # less-sharp corners (required iff use_corner)
+    axis: str = None,            # mesh axis name when running under shard_map
+    map_shard: bool = False,     # shard the local map too (ring-KNN association)
 ) -> Tuple[EstimatorState, dict]:
+    """The full per-sweep estimator step (see module docstring).
+
+    ``axis``: when set, this body is the device-local program of the
+    DISTRIBUTED step (parallel/lio_dist.py): inputs arrive replicated,
+    feature association splits each frame's stack rows across the mesh
+    (rank-sliced), the window LM and pivot marginalization psum-reduce
+    their normal equations, and all state updates come out replicated —
+    the trajectory equals the single-device step up to f32 summation
+    order. With ``map_shard`` the local map is ALSO rank-sliced and
+    association runs the ppermute ring (parallel/map_sharded.ring_knn).
+    """
     e = cfg.estimator
     s_opt = e.opt_window_size
     w = e.window_size
@@ -362,21 +442,25 @@ def lio_step(
 
     imu_cfg = e.imu
     noise18 = PI.noise_matrix(imu_cfg.acc_n, imu_cfg.gyr_n, imu_cfg.acc_w, imu_cfg.gyr_w, dtype)
-    pre_k = PI.integrate(samples, ba, bg, noise18)
+    pre_k, prefixes = PI.integrate(samples, ba, bg, noise18, with_prefixes=True)
     # world propagation follows exactly from the preintegrated deltas
     # (Estimator.cc:387-394); avoids a second sequential IMU scan
     q_pred, p_pred, v_pred = PI.apply_deltas(
         pre_k, q_prev, p_prev, v_prev, state.g_vec)
 
     # ---- 3. IMU-predicted deskew + stack downsample ----
-    # body motion over the sweep: T_e^-1 T_s, slerp-scaled to the scan period
-    dt_total = jnp.sum(samples.dt)
-    body_es = Pose(q_pred, p_pred).inverse() @ Pose(q_prev, p_prev)
-    sfrac = jnp.clip(scan_period / jnp.maximum(dt_total, 1e-6), 0.0, 1.0)
-    q_es_b = quat.slerp(quat.identity(dtype), body_es.q, sfrac)
-    t_es_b = sfrac * body_es.t
+    # body motion over the SWEEP (last scan_period of the interval): the
+    # interval spans io_ratio sweeps when the estimator consumes every
+    # io_ratio-th frame (PointOdometry.cc:725-729), but the cloud covers
+    # only the last one. The sweep-start state is read off the IMU prefix
+    # states at t_end - scan_period (the reference's stamped-transform
+    # lookup, Estimator.cc:628-698).
+    dt_total = pre_k.sum_dt
+    q_s, p_s, _ = PI.state_at_offset(
+        prefixes, dt_total - scan_period, q_prev, p_prev, v_prev, state.g_vec)
+    body_es = Pose(q_pred, p_pred).inverse() @ Pose(q_s, p_s)
     t_lb_pose = Pose(state.q_lb, state.t_lb)
-    es_laser = t_lb_pose @ Pose(q_es_b, t_es_b) @ t_lb_pose.inverse()
+    es_laser = t_lb_pose @ body_es @ t_lb_pose.inverse()
 
     deskew_on = e.enable_deskew and not e.cutoff_deskew
     deskewed = DS.transform_to_end(
@@ -459,11 +543,35 @@ def lio_step(
     if _TRUNCATE_STAGE == "map":
         return st, {"m": maps[0]}
 
-    def frame_stacks(i):
+    # ---- association sharding (distributed step only) ----
+    if axis is not None:
+        n_dev = jax.lax.axis_size(axis)
+        rank = jax.lax.axis_index(axis)
+
+        def shard_rows(arr, mask):
+            per = arr.shape[0] // n_dev
+            start = rank * per
+            return (jax.lax.dynamic_slice_in_dim(arr, start, per, 0),
+                    jax.lax.dynamic_slice_in_dim(mask, start, per, 0))
+    else:
+        def shard_rows(arr, mask):
+            return arr, mask
+
+    if axis is not None and map_shard:
+        assoc = (make_knn5(*shard_rows(maps[0], maps[1]), cfg, axis=axis),)
         if e.use_corner:
-            return (st.surf_xyz[i], st.surf_mask[i],
-                    st.corner_xyz[i], st.corner_mask[i])
-        return (st.surf_xyz[i], st.surf_mask[i])
+            assoc += (make_knn5(*shard_rows(maps[2], maps[3]), cfg, axis=axis),)
+    else:
+        assoc = (make_knn5(maps[0], maps[1], cfg),)
+        if e.use_corner:
+            assoc += (make_knn5(maps[2], maps[3], cfg),)
+
+    def frame_stacks(i):
+        sx, sm = shard_rows(st.surf_xyz[i], st.surf_mask[i])
+        if e.use_corner:
+            cx, cm = shard_rows(st.corner_xyz[i], st.corner_mask[i])
+            return (sx, sm, cx, cm)
+        return (sx, sm)
 
     # ---- features for frames pivot+1 .. window-1 ----
     # NOTE: kept as per-frame association calls. Fusing all frames into one
@@ -475,27 +583,39 @@ def lio_step(
     feat_ok = []
     for i in range(pivot + 1, w):
         pts_i, coeff_i, ok_i = _associate_frame(
-            maps, frame_stacks(i), rel.q[i], rel.t[i], cfg)
+            assoc, frame_stacks(i), rel.q[i], rel.t[i], cfg)
         feat_pts.append(pts_i)
         feat_coeff.append(coeff_i)
         feat_ok.append(ok_i)
 
     # ---- newest frame ----
-    # The reference only runs the full 10-iteration CalculateLaserOdom
-    # mini-GN when the IMU factor is off (Estimator.cc:1560-1570); with it
-    # on, the newest frame is associated at its IMU-predicted pose like the
-    # other frames. In f32 on TPU a small association-pose refinement still
-    # buys measurable ATE (0.72 -> 0.60 m at 10 iters on the synthetic
-    # indoor CLI sequence), so `newest_refine_iters` exposes the budget:
-    # 0 = exact reference behavior, each iteration costs one serial
-    # KNN+fit association round.
-    n_ref = e.newest_refine_iters if e.imu_factor else 10
+    # With the IMU factor ON the reference routes the newest frame through
+    # CalculateLaserOdom — a <=10-iteration mini-GN against the local map
+    # whose per-iteration association rounds each cost one KNN+fit pass
+    # (Estimator.cc:1561: `idx != window_size || !imu_factor` selects
+    # CalculateFeatures for every other case). `newest_refine_iters`
+    # exposes the budget (reference: num_max_iterations_ = 10; the shipped
+    # profiles trade a few iterations for throughput — early abort at
+    # 0.05deg/0.05cm usually converges the refinement in 2-4 rounds).
+    n_ref = e.newest_refine_iters if e.imu_factor else 0
+    planes_extra = None
     if n_ref > 0:
-        _, _, pts_n, coeff_n, ok_n = _calculate_laser_odom(
-            maps, frame_stacks(w), rel.q[w], rel.t[w], cfg, n_ref)
+        _, _, pts_n, coeff_acc, ok_acc, n_exec = _calculate_laser_odom(
+            assoc, frame_stacks(w), rel.q[w], rel.t[w], cfg, n_ref, axis=axis)
+        last = jnp.maximum(n_exec - 1, 0)
+        coeff_n = jax.lax.dynamic_index_in_dim(coeff_acc, last, 0, keepdims=False)
+        ok_n = jax.lax.dynamic_index_in_dim(ok_acc, last, 0, keepdims=False)
+        if e.keep_features and n_ref > 1:
+            # keep_features (Estimator.cc:978): earlier association rounds
+            # of the mini-GN stay in the factor set — extra point-plane
+            # rows all anchored at the newest pose
+            extra_ok = ok_acc & (jnp.arange(n_ref) != last)[:, None]
+            planes_extra = SV.PlaneFactors(
+                point=jnp.broadcast_to(pts_n, (n_ref,) + pts_n.shape),
+                coeff=coeff_acc, mask=extra_ok)
     else:
         pts_n, coeff_n, ok_n = _associate_frame(
-            maps, frame_stacks(w), rel.q[w], rel.t[w], cfg)
+            assoc, frame_stacks(w), rel.q[w], rel.t[w], cfg)
     feat_pts.append(pts_n)
     feat_coeff.append(coeff_n)
     feat_ok.append(ok_n)
@@ -529,10 +649,17 @@ def lio_step(
     groups0 = SV._evaluate(
         x0, pres_opt, state.g_vec, planes, st.prior, ex_prior,
         {"cauchy_scale": e.cauchy_loss_scale,
-         "imu_sqrt_infos": imu_sqrt_infos}, s_opt)
+         "imu_sqrt_infos": imu_sqrt_infos}, s_opt, planes_extra)
     costs0 = SV.group_costs(groups0)
+    cost_plane0 = costs0["plane"] + costs0.get(
+        "plane_extra", jnp.zeros((), dtype))
+    if axis is not None:
+        # plane rows are sharded; the gates must see the global cost
+        cost_plane0 = jax.lax.psum(cost_plane0, axis)
+    costs0["plane"] = cost_plane0
+    costs0.pop("plane_extra", None)
     turn_off = costs0["imu"] > e.convergence_cost_pim_th
-    ratio = costs0["marg"] / jnp.maximum(costs0["plane"] + costs0["imu"], 1e-12)
+    ratio = costs0["marg"] / jnp.maximum(cost_plane0 + costs0["imu"], 1e-12)
     convergence_flag = st.convergence_flag | (
         (~turn_off) & (ratio <= e.convergence_marg_ratio_th) & (ratio != 0.0))
 
@@ -555,7 +682,8 @@ def lio_step(
         cauchy_scale=e.cauchy_loss_scale,
         opt_extrinsic=opt_ex,
         use_marg=jnp.asarray(True),
-        eval0=eval0, imu_sqrt_infos=imu_sqrt_infos)
+        eval0=eval0, imu_sqrt_infos=imu_sqrt_infos,
+        planes_extra=planes_extra, psum_axis=axis)
 
     if _TRUNCATE_STAGE == "solve":
         return st, {"q": x_opt.q}
@@ -598,7 +726,8 @@ def lio_step(
     do_marg = jnp.asarray(e.marginalization_factor) & (~turn_off)
     new_prior = SV.marginalize_pivot(
         x_fixed, jax.tree.map(lambda a: a[0], pres_opt), state.g_vec,
-        planes, prior_in, s=s_opt, cauchy_scale=e.cauchy_loss_scale)
+        planes, prior_in, s=s_opt, cauchy_scale=e.cauchy_loss_scale,
+        planes_extra=planes_extra, psum_axis=axis)
     prior_out = jax.tree.map(
         lambda new, old: jnp.where(do_marg, new, old),
         new_prior, st.prior._replace(valid=prior_in.valid))
@@ -639,3 +768,15 @@ def lio_step(
         "solver_iterations": diag.iterations,
     }
     return st, outputs
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def lio_step(
+    state: EstimatorState,
+    surf_cloud: Cloud,
+    samples: PI.ImuSamples,
+    cfg: LioConfig,
+    corner_cloud: Cloud = None,
+) -> Tuple[EstimatorState, dict]:
+    """Single-device jitted per-sweep step (see :func:`lio_step_impl`)."""
+    return lio_step_impl(state, surf_cloud, samples, cfg, corner_cloud)

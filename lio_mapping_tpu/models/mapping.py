@@ -87,9 +87,23 @@ def insert_into_map(vm: VoxelMapStore, points, mask, pose: Pose, leaf: float,
     The reference inserts into cubes and re-downsamples each touched cube
     (PointMapping.cc:1112-1208); here the union of (map, new world points)
     is voxel-reduced in one sort. The origin follows the pose; points
-    beyond the active radius are dropped (the cube window slide).
+    beyond the active extent are dropped (the cube window slide).
+
+    Extent parity (r3): the active region matches the reference's
+    21x21x11 cube grid of 50 m cells = +-525 m (xy) / +-275 m (z) around
+    the recentering pose (PointMapping.cc:77-83,819-921), held in the
+    13-bit wide voxel packing (ops/voxel ``wide=True``; +-4096 cells >=
+    +-819 m even at the 0.2 m corner leaf) — revisits within the
+    reference's kilometre-scale active map keep their constraints
+    (tests/test_mapping.py revisit test).
     """
-    radius = 0.45 * leaf * 1024  # packing range of ops/voxel (10 bits/axis)
+    m = cfg.mapping
+    # reference active extent: half the cube grid per axis
+    ext_xy = 0.5 * m.cube_length * m.cube_size_m
+    ext_z = 0.5 * m.cube_height * m.cube_size_m
+    key_limit = 0.95 * leaf * VX.HALF_CELLS_WIDE
+    extent = jnp.asarray([min(ext_xy, key_limit), min(ext_xy, key_limit),
+                          min(ext_z, key_limit)], vm.xyz.dtype)
     world = pose.apply(points)
     # snap the origin to a coarse leaf multiple so the voxel grid stays
     # aligned as the origin tracks the pose (no re-quantization smear)
@@ -98,11 +112,12 @@ def insert_into_map(vm: VoxelMapStore, points, mask, pose: Pose, leaf: float,
 
     all_xyz = jnp.concatenate([vm.xyz - new_origin[None, :],
                                world - new_origin[None, :]], axis=0)
-    in_range = jnp.max(jnp.abs(all_xyz), axis=-1) < radius
+    in_range = jnp.all(jnp.abs(all_xyz) < extent[None, :], axis=-1)
     all_mask = jnp.concatenate([vm.mask, mask], axis=0) & in_range
 
     cap = vm.xyz.shape[0]
-    out_xyz, out_mask, _ = VX.voxel_downsample(all_xyz, all_mask, leaf, cap)
+    out_xyz, out_mask, _ = VX.voxel_downsample(
+        all_xyz, all_mask, leaf, cap, wide=True)
     return VoxelMapStore(
         xyz=out_xyz + new_origin[None, :], mask=out_mask, origin=new_origin)
 

@@ -18,6 +18,7 @@ preintegrations are repropagated with the estimated gyro bias.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -38,15 +39,31 @@ from .point_processor import StartOriTracker, process_sweep, raw_start_ori
 
 
 class LioPipeline:
-    """Sweep-by-sweep LIO: feed (sweep, imu batch) pairs, get poses out."""
+    """Sweep-by-sweep LIO: feed (sweep, imu batch) pairs, get poses out.
 
-    def __init__(self, cfg: LioConfig, dtype=jnp.float32):
+    ``mesh``: optional 1-D ``jax.sharding.Mesh`` — the per-sweep estimator
+    program runs DISTRIBUTED over it (parallel/lio_dist: association rows
+    rank-sliced, normal equations psum-reduced), with the host loop and
+    every output unchanged. ``map_shard`` additionally shards the local
+    map (ppermute-ring association).
+    """
+
+    def __init__(self, cfg: LioConfig, dtype=jnp.float32, mesh=None,
+                 map_shard: bool = False):
         self.cfg = cfg
         self.dtype = dtype
+        self.mesh = mesh
         self.odom_state = ODO.init_state(cfg, dtype)
         self.est_state = EST.init_state(cfg, dtype)
         self.stage = "NOT_INITED"
         self.frame_count = 0
+
+        # io_ratio cadence (PointOdometry.cc:725-729 / `odom_io` yaml): the
+        # estimator consumes clouds every io_ratio-th sweep; skipped
+        # sweeps' IMU accumulates into the next consumed interval
+        self._io_ratio = max(1, cfg.estimator.odom_io)
+        self._pending: List[np.ndarray] = []  # packed IMU since last consume
+        self._compact_count = 0  # consumed (compact) frames seen
 
         # init-window accumulation (host lists)
         self._init_odom_poses: List[Pose] = []
@@ -73,18 +90,59 @@ class LioPipeline:
 
         self._front_odo = jax.jit(front_odo)
 
-        def front_lio(est_state, xyzw, start_ori, packed):
+        def front_lio_body(est_state, xyzw, start_ori, packed, axis=None):
             feats = process_sweep(xyzw[:, 0:3], xyzw[:, 3] > 0.5, cfg, start_ori)
             samples = PI.unpack_samples(packed.astype(dtype))
             corner = feats.corner_less_sharp if cfg.estimator.use_corner else None
-            new_state, out = EST.lio_step(
-                est_state, feats.surf_less_flat, samples, cfg, corner)
+            new_state, out = EST.lio_step_impl(
+                est_state, feats.surf_less_flat, samples, cfg, corner,
+                axis=axis, map_shard=map_shard)
             out = dict(out)
             out["corner_cloud"] = feats.corner_less_sharp
             out["surf_cloud"] = feats.surf_less_flat
             return new_state, out
 
-        self._front_lio = jax.jit(front_lio)
+        if mesh is None:
+            self._front_lio = jax.jit(front_lio_body)
+        else:
+            # the SAME single-executable per-sweep program, shard_map-ed
+            # over the mesh: front end replicated (cheap), association +
+            # solve + marginalization distributed (parallel/lio_dist)
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel import lio_dist
+
+            lio_dist.check_caps(cfg, mesh.devices.size)
+            fn = jax.shard_map(
+                partial(front_lio_body, axis=lio_dist.AXIS),
+                mesh=mesh, in_specs=(P(), P(), P(), P()),
+                out_specs=(P(), P()), check_vma=False)
+            self._front_lio = jax.jit(fn)
+
+        # IMU-predicted pose for sweeps between estimator consumes (the
+        # reference's /predict_laser_odom, Estimator.cc:744-758)
+        w = cfg.estimator.window_size
+
+        def predict(est_state, packed):
+            samples = PI.unpack_samples(packed.astype(dtype))
+            pre = PI.integrate(samples, est_state.bas[w], est_state.bgs[w],
+                               self._noise18)
+            q, p, _ = PI.apply_deltas(
+                pre, est_state.qs[w], est_state.ps[w], est_state.vs[w],
+                est_state.g_vec)
+            return EST.laser_pose(q, p, est_state.q_lb, est_state.t_lb)
+
+        self._predict = jax.jit(predict)
+
+    # ------------------------------------------------------------------
+    def _merge_pending(self) -> jnp.ndarray:
+        """Merge accumulated packed IMU buffers into one device buffer."""
+        m = self.cfg.estimator.imu.max_imu_per_frame
+        if not self._pending:
+            return jnp.zeros((m + 1, 7), self.dtype)
+        if len(self._pending) == 1:
+            return jnp.asarray(self._pending[0], self.dtype)
+        return jnp.asarray(PI.merge_packed_np(self._pending, m), self.dtype)
 
     # ------------------------------------------------------------------
     def make_samples(self, dts, accs, gyrs, acc0, gyr0) -> jnp.ndarray:
@@ -111,6 +169,13 @@ class LioPipeline:
         """Process one sweep (+ its IMU interval). Returns pose outputs.
 
         ``samples`` is the packed (M+1, 7) buffer from :meth:`make_samples`.
+
+        The estimator consumes every ``io_ratio``-th sweep (`odom_io`
+        yaml; PointOdometry publishes /compact_data at that cadence,
+        PointOdometry.cc:725-729). Skipped sweeps' IMU accumulates into
+        the next consumed preintegration interval (the reference's
+        ``tmp_pre_integration_``), and their output pose is the
+        IMU-propagated prediction (/predict_laser_odom).
         """
         cfg = self.cfg
         start_ori = None
@@ -120,14 +185,26 @@ class LioPipeline:
                 self.dtype)
         xyzw = self._pack_xyzw(xyz, mask, self.dtype)
         self.frame_count += 1
+        if samples is not None:
+            self._pending.append(np.asarray(samples, np.float32))
+        io = self._io_ratio
+        is_compact = io < 2 or (self.frame_count % io == 1)
+        if is_compact:
+            self._compact_count += 1
 
         # once INITED with IMU deskew, the scan-to-scan stage is switched
         # off (the reference's /enable_odom call, Estimator.cc:551-559):
         # its pose is unused and clouds pass through raw — skip it entirely.
         deskew_mode = cfg.estimator.enable_deskew or cfg.estimator.cutoff_deskew
         if self.stage == "INITED" and deskew_mode:
+            if not is_compact:
+                lp = self._predict(self.est_state, self._merge_pending())
+                return {"stage": self.stage, "laser_pose": lp,
+                        "predicted": True}
+            merged = self._merge_pending()
+            self._pending = []
             self.est_state, out = self._front_lio(
-                self.est_state, xyzw, start_ori, samples)
+                self.est_state, xyzw, start_ori, merged)
             out["stage"] = self.stage
             return out
 
@@ -135,8 +212,13 @@ class LioPipeline:
             self.odom_state, xyzw, start_ori, jnp.asarray(True))
 
         if self.stage == "NOT_INITED":
-            if samples is not None and self.frame_count % cfg.estimator.init_window_factor == 0:
-                self._push_init_frame(odo_out, PI.unpack_samples(samples))
+            # line 437: every init_window_factor-th COMPACT frame is pushed
+            # (laser_odom_recv_count_ counts received compact frames)
+            if (samples is not None and is_compact
+                    and self._compact_count % cfg.estimator.init_window_factor == 0):
+                merged = self._merge_pending()
+                self._pending = []
+                self._push_init_frame(odo_out, PI.unpack_samples(merged))
                 if len(self._init_odom_poses) == cfg.estimator.window_size + 1:
                     if self._try_initialize():
                         self.stage = "INITED"
@@ -156,9 +238,16 @@ class LioPipeline:
             }
 
         # ---- INITED (no-deskew variant: clouds come from the odometry) ----
+        if not is_compact:
+            return {"stage": self.stage, "laser_pose": odo_out["pose"],
+                    "predicted": True,
+                    "corner_cloud": odo_out["corner_cloud"],
+                    "surf_cloud": odo_out["surf_cloud"]}
+        merged = self._merge_pending()
+        self._pending = []
         self.est_state, out = EST.lio_step(
             self.est_state, odo_out["surf_cloud"],
-            PI.unpack_samples(samples.astype(self.dtype)), cfg,
+            PI.unpack_samples(merged), cfg,
             odo_out["corner_cloud"] if cfg.estimator.use_corner else None)
         out["stage"] = self.stage
         out["corner_cloud"] = odo_out["corner_cloud"]
@@ -172,22 +261,28 @@ class LioPipeline:
         from ..io import checkpoint as CKPT
 
         meta = jnp.asarray(
-            [1 if self.stage == "INITED" else 0, self.frame_count], jnp.int32)
+            [1 if self.stage == "INITED" else 0, self.frame_count,
+             self._compact_count], jnp.int32)
         CKPT.save_state(path, est=self.est_state, odom=self.odom_state,
-                        meta=meta)
+                        meta=meta, pending=self._merge_pending())
 
     def load(self, path: str):
         """Resume from a checkpoint written by :meth:`save`."""
         from ..io import checkpoint as CKPT
 
+        m = self.cfg.estimator.imu.max_imu_per_frame
         loaded = CKPT.load_state(
             path, est=self.est_state, odom=self.odom_state,
-            meta=jnp.zeros(2, jnp.int32))
+            meta=jnp.zeros(3, jnp.int32),
+            pending=jnp.zeros((m + 1, 7), self.dtype))
         self.est_state = loaded["est"]
         self.odom_state = loaded["odom"]
-        inited, count = np.asarray(loaded["meta"])
+        inited, count, compact = np.asarray(loaded["meta"])
         self.stage = "INITED" if int(inited) else "NOT_INITED"
         self.frame_count = int(count)
+        self._compact_count = int(compact)
+        pending = np.asarray(loaded["pending"], np.float32)
+        self._pending = [pending] if (pending[1:, 0] > 0).any() else []
 
     # ------------------------------------------------------------------
     def _push_init_frame(self, odo_out, samples: PI.ImuSamples):

@@ -18,6 +18,7 @@ no-op, so padding needs no masking).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -69,6 +70,31 @@ def pack_samples_np(dts, accs, gyrs, acc0, gyr0, capacity: int):
     out[1:n + 1, 0] = dts
     out[1:n + 1, 1:4] = accs
     out[1:n + 1, 4:7] = gyrs
+    return out
+
+
+def merge_packed_np(buffers, capacity: int):
+    """Host-side merge of consecutive packed (M+1, 7) buffers into one.
+
+    The LIO path consumes clouds every ``io_ratio``-th sweep
+    (PointOdometry.cc:725-729); the skipped sweeps' IMU accumulates into
+    the next consumed frame's preintegration interval (the reference's
+    ``tmp_pre_integration_`` keeps integrating between compact frames).
+    Row 0 (acc0/gyr0) comes from the FIRST buffer; dt>0 rows concatenate
+    in order.
+    """
+    import numpy as np
+
+    buffers = [np.asarray(b, np.float32) for b in buffers]
+    out = np.zeros((capacity + 1, 7), np.float32)
+    out[0] = buffers[0][0]
+    n = 0
+    for b in buffers:
+        rows = b[1:][b[1:, 0] > 0]
+        assert n + len(rows) <= capacity, \
+            f"merged IMU samples exceed capacity: {n + len(rows)} > {capacity}"
+        out[1 + n:1 + n + len(rows)] = rows
+        n += len(rows)
     return out
 
 
@@ -253,8 +279,8 @@ def _step_matrices(dt, rot0, rot1, un_gyr, a0, a1, noise18, dtype):
     return f, g
 
 
-@jax.jit
-def integrate(samples: ImuSamples, ba, bg, noise18) -> Preintegration:
+@partial(jax.jit, static_argnames=("with_prefixes",))
+def integrate(samples: ImuSamples, ba, bg, noise18, with_prefixes: bool = False):
     """Batched/log-depth integration of a full buffer (Propagate/Repropagate).
 
     Mathematically identical to ``integrate_sequential`` (same midpoint
@@ -273,6 +299,14 @@ def integrate(samples: ImuSamples, ba, bg, noise18) -> Preintegration:
     All heavy math is batched over the M samples; the only sequential
     structure left is the log(M)-depth scan tree. Results match the
     sequential version to float rounding (reassociation only).
+
+    ``with_prefixes``: additionally return ``PrefixStates`` — the per-sample
+    prefix deltas (delta_q/p/v after each sample, plus cumulative dt). The
+    prefixes fall out of the associative scans already computed here; the
+    estimator uses them to read off the body state at ``t_end -
+    scan_period`` for IMU-predicted deskew (the reference's
+    ``imu_stampedtransforms`` lookup, Estimator.cc:628-698) — exact even
+    when the preintegration interval spans ``io_ratio`` sweeps.
     """
     dtype = samples.acc.dtype
     m = samples.dt.shape[0]
@@ -313,7 +347,9 @@ def integrate(samples: ImuSamples, ba, bg, noise18) -> Preintegration:
     dv_incl = jnp.cumsum(dv_steps, axis=0)
     v_entry = dv_incl - dv_steps  # exclusive cumsum: delta_v at step entry
     delta_v = dv_incl[-1]
-    delta_p = jnp.sum(v_entry * dt[:, None] + 0.5 * un_acc * (dt * dt)[:, None], axis=0)
+    dp_steps = v_entry * dt[:, None] + 0.5 * un_acc * (dt * dt)[:, None]
+    dp_incl = jnp.cumsum(dp_steps, axis=0)
+    delta_p = dp_incl[-1]
 
     # --- per-step F / injected noise, batched ---
     rot0 = jax.vmap(quat.to_matrix)(q_entry)
@@ -334,7 +370,7 @@ def integrate(samples: ImuSamples, ba, bg, noise18) -> Preintegration:
     phi = jnp.concatenate([suffix[1:], jnp.eye(15, dtype=dtype)[None]], axis=0)
     covariance = jnp.einsum("kij,kjl,kml->im", phi, gs, phi)
 
-    return Preintegration(
+    pre = Preintegration(
         delta_p=delta_p,
         delta_q=cum_q[-1],
         delta_v=delta_v,
@@ -344,6 +380,38 @@ def integrate(samples: ImuSamples, ba, bg, noise18) -> Preintegration:
         linearized_ba=ba,
         linearized_bg=bg,
     )
+    if not with_prefixes:
+        return pre
+    return pre, PrefixStates(
+        delta_q=cum_q, delta_p=dp_incl, delta_v=dv_incl,
+        cum_dt=jnp.cumsum(dt))
+
+
+class PrefixStates(NamedTuple):
+    """Per-sample prefix deltas from :func:`integrate` (padding rows repeat
+    the last real sample's values — cum_dt is constant over padding)."""
+
+    delta_q: jnp.ndarray  # (M, 4)
+    delta_p: jnp.ndarray  # (M, 3)
+    delta_v: jnp.ndarray  # (M, 3)
+    cum_dt: jnp.ndarray   # (M,)
+
+
+def state_at_offset(prefixes: PrefixStates, t_offset, q0, p0, v0, g_vec):
+    """World state at the first sample time >= ``t_offset`` into the
+    interval (nearest-after sample; IMU-rate quantization, like the
+    reference's stamped-transform lookup, Estimator.cc:628-640)."""
+    dtype = p0.dtype
+    k = jnp.argmax(prefixes.cum_dt >= t_offset)
+    at_start = t_offset <= 0  # interval start exactly (io_ratio == 1 case)
+    t = jnp.where(at_start, jnp.zeros((), dtype), prefixes.cum_dt[k])
+    dq = jnp.where(at_start, quat.identity(dtype), prefixes.delta_q[k])
+    dp = jnp.where(at_start, jnp.zeros(3, dtype), prefixes.delta_p[k])
+    dv = jnp.where(at_start, jnp.zeros(3, dtype), prefixes.delta_v[k])
+    q = quat.normalize(quat.qmul(q0, dq))
+    v = v0 + g_vec * t + quat.rotate(q0, dv)
+    p = p0 + v0 * t + 0.5 * g_vec * t * t + quat.rotate(q0, dp)
+    return q, p, v
 
 
 def noise_matrix_euler(acc_n: float, gyr_n: float, acc_w: float, gyr_w: float,

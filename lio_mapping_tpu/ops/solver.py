@@ -92,10 +92,15 @@ def _evaluate(
     ex_prior: tuple,            # (q_lb0, t_lb0) or None
     cfg_flags: dict,
     s: int,
+    planes_extra: PlaneFactors = None,
 ):
     """Residuals + dense Jacobians for all factor groups.
 
     Returns dict of (J (N, D), r (N,), w (N,)) per group.
+
+    ``planes_extra``: optional (K, F) extra point-plane rows ALL anchored
+    at the newest frame's pose (index S) — the keep_features accumulation
+    of the newest-frame mini-GN's association rounds (Estimator.cc:978).
     """
     dtype = x.p.dtype
     pose_off, sb_off, ex_off, dim = _layout(s)
@@ -162,6 +167,23 @@ def _evaluate(
         w=planes.mask.astype(dtype),
     )
 
+    # ---- keep_features extra rows: all bound to (pivot, newest, ex) ----
+    if planes_extra is not None:
+        def extra_feat(pt, co):
+            return FA.pivot_point_plane_factor(
+                pt, co, x.p[0], x.q[0], x.p[s], x.q[s], x.ex_p, x.ex_q)
+
+        res_e, (jp_e, ji_e, jex_e) = jax.vmap(jax.vmap(extra_feat))(
+            planes_extra.point, planes_extra.coeff)
+        r_se, j_se = FA.cauchy_scaling(res_e * res_e, cfg_flags["cauchy_scale"])
+        out["plane_extra"] = PlaneGroup(
+            jp=jp_e * j_se[..., None],
+            ji=ji_e * j_se[..., None],
+            jex=jex_e * j_se[..., None],
+            r=res_e * r_se,
+            w=planes_extra.mask.astype(dtype),
+        )
+
     # ---- extrinsic prior (outdoor_64 profile) ----
     if ex_prior is not None:
         q_lb0, t_lb0 = ex_prior
@@ -184,7 +206,7 @@ def group_costs(groups):
     return out
 
 
-def assemble_normal_equations(groups, s: int):
+def assemble_normal_equations(groups, s: int, psum_axis: str = None):
     """(H, g, cost, group_costs[marg,imu,plane]) from evaluated groups.
 
     Dense groups (marg/imu/ex_prior — a few hundred rows) contract as one
@@ -192,6 +214,11 @@ def assemble_normal_equations(groups, s: int):
     (S, F, 18) einsum producing (S, 18, 18) frame blocks scattered into H.
     Identical math to densifying the plane Jacobian (up to f32 summation
     order), ~7x less HBM traffic per LM iteration at D = 126.
+
+    ``psum_axis``: when evaluated inside shard_map with the plane-feature
+    axis sharded, the plane contributions (H/g/cost) psum-reduce over the
+    mesh while the replicated dense groups are added once — the sharded
+    system equals the single-device one up to summation order.
     """
     pose_off, sb_off, ex_off, dim = _layout(s)
     pg = groups["plane"]
@@ -202,9 +229,12 @@ def assemble_normal_equations(groups, s: int):
     rs = jnp.concatenate([g[1] for g in dense], axis=0)
     ws = jnp.concatenate([g[2] for g in dense], axis=0)
     jw = js * ws[:, None]
-    h = jw.T @ js
-    g_vec = jw.T @ rs
-    cost = 0.5 * jnp.sum(ws * rs * rs)
+    h_dense = jw.T @ js
+    g_dense = jw.T @ rs
+    cost_dense = 0.5 * jnp.sum(ws * rs * rs)
+
+    h = jnp.zeros((dim, dim), dtype)
+    g_vec = jnp.zeros((dim,), dtype)
 
     # plane block contraction
     jcat = jnp.concatenate([pg.jp, pg.ji, pg.jex], axis=-1)  # (S, F, 18)
@@ -236,7 +266,33 @@ def assemble_normal_equations(groups, s: int):
     g_vec = g_vec.at[po:po + 6].add(jnp.sum(gblk[:, 0:6], axis=0))
     g_vec = g_vec.at[fo:fo + 6 * n_f].add(gblk[:, 6:12].reshape(6 * n_f))
     g_vec = g_vec.at[ex_off:ex_off + 6].add(jnp.sum(gblk[:, 12:18], axis=0))
-    cost = cost + cost_plane
+
+    # keep_features extra rows: every block maps to the SAME three column
+    # blocks (pivot, newest pose S, extrinsic), so the whole (K, F) group
+    # collapses into ONE 18x18 block before scattering
+    pe = groups.get("plane_extra")
+    if pe is not None:
+        jcat_e = jnp.concatenate([pe.jp, pe.ji, pe.jex], axis=-1)  # (K,F,18)
+        jcw_e = jcat_e * pe.w[..., None]
+        h18 = jnp.einsum("kfi,kfj->ij", jcw_e, jcat_e)
+        g18 = jnp.einsum("kfi,kf->i", jcw_e, pe.r)
+        no = pose_off + 6 * n_f  # newest pose columns
+        offs = (po, no, ex_off)
+        for a, o1 in enumerate(offs):
+            for b, o2 in enumerate(offs):
+                h = h.at[o1:o1 + 6, o2:o2 + 6].add(
+                    h18[6 * a:6 * a + 6, 6 * b:6 * b + 6])
+            g_vec = g_vec.at[o1:o1 + 6].add(g18[6 * a:6 * a + 6])
+        cost_plane = cost_plane + 0.5 * jnp.sum(pe.w * pe.r * pe.r)
+
+    if psum_axis is not None:
+        h = jax.lax.psum(h, psum_axis)
+        g_vec = jax.lax.psum(g_vec, psum_axis)
+        cost_plane = jax.lax.psum(cost_plane, psum_axis)
+
+    h = h + h_dense
+    g_vec = g_vec + g_dense
+    cost = cost_dense + cost_plane
 
     costs = group_costs({k: g for k, g in groups.items()
                          if not isinstance(g, PlaneGroup)})
@@ -275,6 +331,8 @@ def solve_window(
     use_marg,
     eval0=None,
     imu_sqrt_infos=None,
+    planes_extra=None,
+    psum_axis=None,
 ):
     """LM over the window. Returns (x_opt, diagnostics).
 
@@ -304,7 +362,8 @@ def solve_window(
 
     def eval_all(x):
         return assemble_normal_equations(
-            _evaluate(x, pres, g_vec, planes, prior_used, ex_prior, flags, s), s)
+            _evaluate(x, pres, g_vec, planes, prior_used, ex_prior, flags, s,
+                      planes_extra), s, psum_axis)
 
     # One full residual/Jacobian evaluation per LM iteration: the accepted
     # point's assembled (H, g) ride the carry, and the candidate's
@@ -342,7 +401,7 @@ def solve_window(
     if eval0 is not None:
         # the caller's gate evaluation at x0; marg weights must already
         # encode prior_used.valid (the groups carry validity as weights)
-        h0, g0, cost0, gc0 = assemble_normal_equations(eval0, s)
+        h0, g0, cost0, gc0 = assemble_normal_equations(eval0, s, psum_axis)
     else:
         h0, g0, cost0, gc0 = eval_all(x0)
     x_fin, _, cost_fin, _, _, gc_fin, iters, _ = jax.lax.while_loop(
@@ -352,11 +411,16 @@ def solve_window(
 
     # diagnostics at the solution (group costs carried from the last
     # accepted evaluation — no extra full evaluation needed)
+    n_plane = jnp.sum(planes.mask)
+    if planes_extra is not None:
+        n_plane = n_plane + jnp.sum(planes_extra.mask)
+    if psum_axis is not None:
+        n_plane = jax.lax.psum(n_plane, psum_axis)
     diag = SolveDiagnostics(
         cost_marg=gc_fin[0],
         cost_imu=gc_fin[1],
         cost_plane=gc_fin[2],
-        n_plane=jnp.sum(planes.mask),
+        n_plane=n_plane,
         iterations=iters,
     )
     return x_fin, diag
@@ -372,6 +436,7 @@ def marginalize_pivot(
     s: int,
     cauchy_scale: float = 1.0,
     psum_axis: str | None = None,
+    planes_extra: PlaneFactors = None,
 ) -> MG.PriorState:
     """Build the new prior by Schur-eliminating pose_0 + sb_0.
 
@@ -481,6 +546,31 @@ def marginalize_pivot(
     b_pl = b_pl.at[po:po + 6].add(jnp.sum(gblk[:, 0:6], axis=0))
     b_pl = b_pl.at[fo:fo + 6 * s].add(gblk[:, 6:12].reshape(6 * s))
     b_pl = b_pl.at[ex_col:ex_col + 6].add(jnp.sum(gblk[:, 12:18], axis=0))
+
+    # keep_features extra rows: pivot is in every point-plane factor, so
+    # the accumulated newest-frame rounds enter the Schur system too —
+    # collapsed to one 18x18 block over (pivot[drop], pose_S, ex) columns
+    if planes_extra is not None:
+        def extra_feat(pt, co):
+            return FA.pivot_point_plane_factor(
+                pt, co, x.p[0], x.q[0], x.p[s], x.q[s], x.ex_p, x.ex_q)
+
+        res_e, (jp_e, ji_e, jex_e) = jax.vmap(jax.vmap(extra_feat))(
+            planes_extra.point, planes_extra.coeff)
+        r_se, j_se = FA.cauchy_scaling(res_e * res_e, cauchy_scale)
+        wm_e = planes_extra.mask.astype(dtype) * j_se
+        jcat_e = jnp.concatenate([jp_e, ji_e, jex_e], axis=-1)  # (K,F,18)
+        jcw_e = jcat_e * wm_e[..., None]
+        h18 = jnp.einsum("kfi,kfj->ij", jcw_e, jcw_e)
+        g18 = jnp.einsum("kfi,kf->i", jcw_e,
+                         planes_extra.mask.astype(dtype) * r_se * res_e)
+        no = m + 6 * (s - 1)  # newest pose keep-columns
+        offs = (pose_col(0), no, ex_col)
+        for ai, o1 in enumerate(offs):
+            for bi, o2 in enumerate(offs):
+                a_pl = a_pl.at[o1:o1 + 6, o2:o2 + 6].add(
+                    h18[6 * ai:6 * ai + 6, 6 * bi:6 * bi + 6])
+            b_pl = b_pl.at[o1:o1 + 6].add(g18[6 * ai:6 * ai + 6])
 
     if psum_axis is not None:
         a_pl = jax.lax.psum(a_pl, psum_axis)

@@ -12,7 +12,10 @@ with an exact sort-based unique+centroid reduction:
 
 Exact w.r.t. PCL for any scene within +-511 cells of the local origin
 (+-102 m at 0.2 m leaf); out-of-range points are dropped like PCL's
-bounding-box clip.
+bounding-box clip. ``wide=True`` switches to a 13-bit-per-axis TWO-key
+packing (lexsorted) for reference-scale extents: +-4096 cells = +-819 m at
+0.2 m leaf — enough to hold the reference's 21x21x11 x 50 m active cube
+region (PointMapping.cc:77-83) in a single flat store.
 """
 
 from __future__ import annotations
@@ -26,6 +29,14 @@ _BITS = 10
 _HALF = 1 << (_BITS - 1)  # 512
 _SPAN = 1 << _BITS
 
+_BITS_W = 13
+_HALF_W = 1 << (_BITS_W - 1)  # 4096
+_SPAN_W = 1 << _BITS_W
+
+#: per-axis half-extent (in cells) of each packing
+HALF_CELLS = _HALF
+HALF_CELLS_WIDE = _HALF_W
+
 
 def voxel_keys(xyz: jnp.ndarray, mask: jnp.ndarray, leaf: float) -> jnp.ndarray:
     """Packed int32 voxel key per point; invalid/out-of-range -> INT32 max."""
@@ -35,26 +46,51 @@ def voxel_keys(xyz: jnp.ndarray, mask: jnp.ndarray, leaf: float) -> jnp.ndarray:
     return jnp.where(mask & in_range, key, jnp.iinfo(jnp.int32).max)
 
 
+def voxel_keys_wide(xyz: jnp.ndarray, mask: jnp.ndarray, leaf: float):
+    """13-bit-per-axis packing as TWO int32 keys (a = x*span+y, b = z);
+    lexsort by (a, b) is equivalent to sorting a single 39-bit key, with
+    no int64 dependence (prod runs f32/x64-off)."""
+    v = jnp.floor(xyz / leaf).astype(jnp.int32) + _HALF_W
+    in_range = jnp.all((v >= 0) & (v < _SPAN_W), axis=-1)
+    big = jnp.iinfo(jnp.int32).max
+    ok = mask & in_range
+    key_a = jnp.where(ok, v[..., 0] * _SPAN_W + v[..., 1], big)
+    key_b = jnp.where(ok, v[..., 2], big)
+    return key_a, key_b
+
+
 def voxel_downsample(
     xyz: jnp.ndarray,
     mask: jnp.ndarray,
     leaf: float,
     capacity: int,
     aux: jnp.ndarray | None = None,
+    wide: bool = False,
 ):
     """Centroid-downsample (N,3) points to <=capacity voxel centroids.
 
     Returns (out_xyz (C,3), out_mask (C,), out_aux (C,k) or None).
-    ``aux`` channels are averaged alongside positions.
+    ``aux`` channels are averaged alongside positions. ``wide`` selects the
+    13-bit two-key packing (large extents; one extra sort pass).
     """
     n = xyz.shape[0]
-    key = voxel_keys(xyz, mask, leaf)
-    order = jnp.argsort(key)
-    key_s = key[order]
-    xyz_s = xyz[order]
-    valid_s = key_s != jnp.iinfo(jnp.int32).max
-
-    first = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]) & valid_s
+    if wide:
+        key_a, key_b = voxel_keys_wide(xyz, mask, leaf)
+        order = jnp.lexsort((key_b, key_a))
+        a_s, b_s = key_a[order], key_b[order]
+        xyz_s = xyz[order]
+        valid_s = a_s != jnp.iinfo(jnp.int32).max
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]) & valid_s
+    else:
+        key = voxel_keys(xyz, mask, leaf)
+        order = jnp.argsort(key)
+        key_s = key[order]
+        xyz_s = xyz[order]
+        valid_s = key_s != jnp.iinfo(jnp.int32).max
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]) & valid_s
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # segment id per point
     seg = jnp.where(valid_s, seg, capacity)  # invalid -> dropped bucket
 

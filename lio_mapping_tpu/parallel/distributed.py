@@ -1,4 +1,4 @@
-"""The full multi-chip LIO window step.
+"""Reduced multi-chip window-BA step (association + solve + marginalize).
 
 One ``shard_map``-wrapped program over a 1-D device mesh ("data" axis):
 
@@ -9,9 +9,12 @@ One ``shard_map``-wrapped program over a 1-D device mesh ("data" axis):
 3. sharded pivot marginalization (ops/solver.marginalize_pivot with
    psum_axis) producing the new factored prior.
 
-This is the program ``__graft_entry__.dryrun_multichip`` compiles and
-executes on an N-virtual-device mesh; on real hardware the same code spans
-a pod slice with the collectives riding ICI.
+This module is the ISOLATED BA core used by tools/bench_scaling.py (clean
+kernel-level scaling numbers without the front end). The FULL distributed
+estimator step — deskew, corner rows, newest-frame mini-GN, gates,
+extrinsic + prior, yaw gauge — is parallel/lio_dist.make_sharded_lio_step;
+that is what ``__graft_entry__.dryrun_multichip`` and the pipeline's
+``--mesh`` mode run.
 """
 
 from __future__ import annotations

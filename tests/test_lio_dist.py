@@ -1,0 +1,128 @@
+"""Full distributed lio_step equivalence (8-device virtual CPU mesh).
+
+VERDICT r2 #1: the DISTRIBUTED estimator step must be the real per-sweep
+program — deskew, window push, local-map build, association, newest-frame
+mini-GN (keep_features), convergence gates, LM, yaw gauge, pivot
+marginalization — and its closed-loop trajectory must match the
+single-device ``lio_step`` within float tolerance. The reference has no
+distributed mode (SURVEY §2); this capability is net-new, so the test IS
+the spec.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lio_mapping_tpu.io import synthetic
+from lio_mapping_tpu.models import estimator as EST
+from lio_mapping_tpu.ops import preintegration as PI
+from lio_mapping_tpu.ops.cloud import Cloud
+from lio_mapping_tpu.parallel import lio_dist
+
+from tests.test_lio_pipeline import small_cfg
+
+
+def _tiny_cfg():
+    cfg = small_cfg()
+    est = dataclasses.replace(
+        cfg.estimator,
+        surf_stack_cap=512,
+        local_map_filtered_cap=2048,
+        features_per_frame_cap=512,
+        max_solver_iterations=4,
+    )
+    return dataclasses.replace(cfg, estimator=est)
+
+
+def _make_inputs(cfg, traj, t0, dtype):
+    dt = cfg.sensor.scan_period
+    cap = cfg.feature.surf_less_flat_cap
+    xyz, mask = synthetic.simulate_sweep(traj, t0, n_azimuth=360)
+    n = min(len(xyz), cap)
+    x = np.zeros((cap, 3), np.float64)
+    mk = np.zeros(cap, bool)
+    x[:n] = xyz[:n]
+    mk[:n] = mask[:n]
+    cloud = Cloud(xyz=jnp.asarray(x, dtype), rel_time=jnp.zeros(cap, dtype),
+                  ring=jnp.zeros(cap, jnp.int32), mask=jnp.asarray(mk))
+    ts, acc, gyr = synthetic.simulate_imu_interval(traj, t0, t0 + dt, 200.0)
+    a0, w0 = traj.imu(t0)
+    dts = np.diff(np.concatenate([[t0], ts]))
+    packed = PI.pack_samples_np(
+        dts, acc, gyr, a0, w0, cfg.estimator.imu.max_imu_per_frame)
+    return cloud, PI.unpack_samples(jnp.asarray(packed, dtype))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
+class TestDistributedLioStep:
+    def test_matches_single_device_multi_sweep(self):
+        """>=10 sweeps: sharded trajectory == single-device within f64
+        summation-order tolerance; prior/bias/extrinsic states agree too."""
+        cfg = _tiny_cfg()
+        dtype = jnp.float64
+        traj = synthetic.Trajectory(g_norm=cfg.estimator.imu.g_norm)
+        state, t_next = synthetic.synthetic_estimator_state(
+            cfg, traj, dtype, n_azimuth=360)
+
+        mesh = lio_dist.make_mesh()
+        step_sh = lio_dist.make_sharded_lio_step(mesh, cfg)
+
+        dt = cfg.sensor.scan_period
+        s1, s2 = state, state
+        for i in range(10):
+            cloud, samples = _make_inputs(cfg, traj, t_next + (i - 1) * dt, dtype)
+            s1, out1 = EST.lio_step(s1, cloud, samples, cfg)
+            s2, out2 = step_sh(s2, cloud, samples)
+            np.testing.assert_allclose(
+                np.asarray(out2["laser_pose"].t),
+                np.asarray(out1["laser_pose"].t), atol=1e-6,
+                err_msg=f"sweep {i}")
+        # full state agreement at the end (excluding the factored prior,
+        # whose eigen-factorization is sign/order ambiguous)
+        np.testing.assert_allclose(np.asarray(s2.ps), np.asarray(s1.ps), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s2.vs), np.asarray(s1.vs), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s2.bas), np.asarray(s1.bas), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s2.bgs), np.asarray(s1.bgs), atol=1e-6)
+        qd = np.abs(np.sum(np.asarray(s2.qs) * np.asarray(s1.qs), axis=-1))
+        np.testing.assert_allclose(qd, 1.0, atol=1e-9)
+        # the prior STATE (residual replay) agrees even if factors differ:
+        # compare prior residuals at the common linearization point
+        from lio_mapping_tpu.ops import marginalization as MG
+
+        r1 = MG.prior_residual(s1.prior, s1.qs[cfg.estimator.pivot_idx:-1],
+                               s1.ps[cfg.estimator.pivot_idx:-1],
+                               jnp.concatenate([s1.vs, s1.bas, s1.bgs], -1)[cfg.estimator.pivot_idx:-1],
+                               s1.q_lb, s1.t_lb)
+        r2 = MG.prior_residual(s2.prior, s2.qs[cfg.estimator.pivot_idx:-1],
+                               s2.ps[cfg.estimator.pivot_idx:-1],
+                               jnp.concatenate([s2.vs, s2.bas, s2.bgs], -1)[cfg.estimator.pivot_idx:-1],
+                               s2.q_lb, s2.t_lb)
+        np.testing.assert_allclose(float(jnp.sum(r2 * r2)),
+                                   float(jnp.sum(r1 * r1)), rtol=1e-5, atol=1e-8)
+
+    def test_map_sharded_matches(self):
+        """Map-sharded (ppermute-ring association) variant: same trajectory
+        as the replicated-map sharded step over several sweeps."""
+        cfg = _tiny_cfg()
+        dtype = jnp.float64
+        traj = synthetic.Trajectory(g_norm=cfg.estimator.imu.g_norm)
+        state, t_next = synthetic.synthetic_estimator_state(
+            cfg, traj, dtype, n_azimuth=360)
+
+        mesh = lio_dist.make_mesh()
+        step_ms = lio_dist.make_sharded_lio_step(mesh, cfg, map_shard=True)
+
+        dt = cfg.sensor.scan_period
+        s1, s2 = state, state
+        for i in range(4):
+            cloud, samples = _make_inputs(cfg, traj, t_next + (i - 1) * dt, dtype)
+            s1, out1 = EST.lio_step(s1, cloud, samples, cfg)
+            s2, out2 = step_ms(s2, cloud, samples)
+            np.testing.assert_allclose(
+                np.asarray(out2["laser_pose"].t),
+                np.asarray(out1["laser_pose"].t), atol=1e-6,
+                err_msg=f"sweep {i}")

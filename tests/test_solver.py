@@ -236,3 +236,107 @@ class TestWindowSolver:
         # the factored prior projects out <=1e-8 eigen-directions (gauge);
         # compare up to that truncation
         np.testing.assert_allclose(g_prior, np.asarray(b_s), atol=1e-5)
+
+
+class TestPlanesExtra:
+    """keep_features extra rows (Estimator.cc:978): (K, F) point-plane rows
+    all anchored at the newest pose enter H/g/marginalization exactly as if
+    they were ordinary dense rows."""
+
+    def _extra(self, s, f=16, k=3, seed=5):
+        rng = np.random.default_rng(seed)
+        pts = jnp.asarray(rng.uniform(-3, 3, (k, f, 3)))
+        w = rng.normal(size=(k, f, 3))
+        w /= np.linalg.norm(w, axis=-1, keepdims=True)
+        coeff = jnp.asarray(np.concatenate(
+            [w, rng.uniform(-1, 1, (k, f, 1))], axis=-1))
+        mask = jnp.asarray(rng.random((k, f)) < 0.7)
+        return SV.PlaneFactors(point=pts, coeff=coeff, mask=mask)
+
+    def test_assembly_matches_dense(self):
+        s = 3
+        x_gt, pres, planes = _make_window_problem(s=s, f=24, noise=0.02, seed=2)
+        extra = self._extra(s)
+        prior = MG.PriorState.empty(s, jnp.float64)
+        g_vec = jnp.asarray([0.0, 0.0, -G])
+        flags = {"cauchy_scale": 1.0}
+
+        groups = SV._evaluate(x_gt, pres, g_vec, planes, prior, None, flags,
+                              s, planes_extra=extra)
+        h, g, cost, _ = SV.assemble_normal_equations(groups, s)
+
+        # densify the extra group by hand and compare
+        pe = groups.pop("plane_extra")
+        h0, g0, cost0, _ = SV.assemble_normal_equations(groups, s)
+        pose_off, sb_off, ex_off, dim = SV._layout(s)
+        jf = np.zeros((np.prod(pe.r.shape), dim))
+        jcat = np.asarray(jnp.concatenate([pe.jp, pe.ji, pe.jex], axis=-1)
+                          ).reshape(-1, 18)
+        jf[:, pose_off:pose_off + 6] = jcat[:, 0:6]
+        jf[:, pose_off + 6 * s:pose_off + 6 * s + 6] = jcat[:, 6:12]
+        jf[:, ex_off:ex_off + 6] = jcat[:, 12:18]
+        wv = np.asarray(pe.w).reshape(-1)
+        rv = np.asarray(pe.r).reshape(-1)
+        h_e = (jf * wv[:, None]).T @ jf
+        g_e = (jf * wv[:, None]).T @ rv
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h0) + h_e,
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g0) + g_e,
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(
+            float(cost), float(cost0) + 0.5 * float(np.sum(wv * rv * rv)),
+            rtol=1e-9)
+
+    def test_extra_rows_equal_main_rows(self):
+        """Moving the newest frame's plane rows into the extra group must
+        not change the solution: extra rows are live factors identical to
+        main rows anchored at pose S."""
+        s = 3
+        x_gt, pres, planes = _make_window_problem(s=s, f=64, noise=0.0, seed=3)
+        # extra group = ONE copy of the newest frame's rows
+        extra = SV.PlaneFactors(
+            point=planes.point[s - 1][None],
+            coeff=planes.coeff[s - 1][None],
+            mask=planes.mask[s - 1][None])
+        planes_wo = planes._replace(
+            mask=planes.mask.at[s - 1].set(False))
+
+        rng = np.random.default_rng(4)
+        p0 = x_gt.p.at[s].add(jnp.asarray(rng.normal(0, 0.05, 3)))
+        x0 = x_gt._replace(p=p0)
+        prior = MG.PriorState.empty(s, jnp.float64)
+        g_vec = jnp.asarray([0.0, 0.0, -G])
+
+        x_extra, _ = SV.solve_window(
+            x0, pres, g_vec, planes_wo, prior, None, s=s, max_iterations=8,
+            opt_extrinsic=jnp.asarray(False), use_marg=jnp.asarray(False),
+            planes_extra=extra)
+        x_main, _ = SV.solve_window(
+            x0, pres, g_vec, planes, prior, None, s=s, max_iterations=8,
+            opt_extrinsic=jnp.asarray(False), use_marg=jnp.asarray(False))
+        np.testing.assert_allclose(np.asarray(x_extra.p),
+                                   np.asarray(x_main.p), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(x_extra.q),
+                                   np.asarray(x_main.q), atol=1e-9)
+
+    def test_marginalization_includes_extra(self):
+        """Extra rows change the Schur prior (pivot is in every row)."""
+        s = 3
+        x_gt, pres, planes = _make_window_problem(s=s, f=24, noise=0.02, seed=6)
+        extra = self._extra(s)
+        prior = MG.PriorState.empty(s, jnp.float64)
+        g_vec = jnp.asarray([0.0, 0.0, -G])
+        pre01 = jax.tree.map(lambda a: a[0], pres)
+
+        pr_with = SV.marginalize_pivot(
+            x_gt, pre01, g_vec, planes, prior, s=s, planes_extra=extra)
+        pr_without = SV.marginalize_pivot(
+            x_gt, pre01, g_vec, planes, prior, s=s)
+        assert not np.allclose(np.asarray(pr_with.lin_jac),
+                               np.asarray(pr_without.lin_jac))
+        # masked-out extra == no extra
+        pr_masked = SV.marginalize_pivot(
+            x_gt, pre01, g_vec, planes, prior, s=s,
+            planes_extra=extra._replace(mask=jnp.zeros_like(extra.mask)))
+        np.testing.assert_allclose(np.asarray(pr_masked.lin_jac),
+                                   np.asarray(pr_without.lin_jac), atol=1e-12)

@@ -58,12 +58,13 @@ def main():
                    stack, smask, mapc, mmask)
     print(f"knn 1x ({C}x{M}, k=5): {t_knn:.2f} ms")
 
-    feat = jax.jit(lambda *a: E._calculate_features(*a, cfg))
+    feat = jax.jit(lambda mx, mm, sx, sm, q, t: E._calculate_features(
+        E.make_knn5(mx, mm, cfg), sx, sm, q, t, cfg))
     t_feat = timeit(feat, mapc, mmask, stack, smask, lq, lt)
     print(f"calculate_features 1x: {t_feat:.2f} ms  (x{s_opt - 1} frames = {t_feat * (s_opt - 1):.1f})")
 
     lodom = jax.jit(lambda mx, mm, sx, sm, q, t: E._calculate_laser_odom(
-        (mx, mm), (sx, sm), q, t, cfg))
+        (E.make_knn5(mx, mm, cfg),), (sx, sm), q, t, cfg))
     t_lo = timeit(lodom, mapc, mmask, stack, smask, lq, lt)
     print(f"calculate_laser_odom (<=10 GN iters): {t_lo:.2f} ms")
 
