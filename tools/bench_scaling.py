@@ -15,29 +15,83 @@ output labels which mode ran.
 Usage:
     python tools/bench_scaling.py                 # real devices
     python tools/bench_scaling.py --virtual 8     # 8 virtual CPU devices
+    python tools/bench_scaling.py --processes 2 --virtual 2
+        # multi-HOST validation: 2 OS processes x 2 devices joined via
+        # jax.distributed; the same shard_map program spans the process
+        # boundary (collectives over the DCN transport; Gloo on CPU).
+        # Reports per-step time on the global mesh + efficiency vs a
+        # 1-process mesh of the same per-process size.
 """
 
 import argparse
 import json
+import os
+import socket
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_multiproc(args):
+    """Parent: launch N worker copies of this script joined by
+    jax.distributed; print the rank-0 report."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                        f"{max(1, args.virtual)}")
+    procs = []
+    for i in range(args.processes):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--worker", str(i), "--port", str(port),
+               "--processes", str(args.processes),
+               "--virtual", str(max(1, args.virtual)),
+               "--features-total", str(args.features_total),
+               "--map-points", str(args.map_points),
+               "--iters", str(args.iters)]
+        procs.append(subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL))
+    outs = [p.communicate()[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        if p.returncode != 0:
+            print(f"worker {i} failed", file=sys.stderr)
+            sys.exit(1)
+    # rank 0 prints the report line (last line of its stdout)
+    print(outs[0].strip().splitlines()[-1])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--virtual", type=int, default=0,
-                    help="force N virtual CPU devices")
+                    help="force N virtual CPU devices (per process when "
+                         "--processes is set)")
     ap.add_argument("--features-total", type=int, default=32768,
                     help="total plane-feature rows per frame (fixed work)")
     ap.add_argument("--map-points", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--processes", type=int, default=0,
+                    help="multi-process (multi-host) mode: total processes")
+    ap.add_argument("--worker", type=int, default=-1,
+                    help="(internal) worker rank in --processes mode")
+    ap.add_argument("--port", type=int, default=0, help="(internal)")
     args = ap.parse_args()
 
-    if args.virtual:
-        import os
+    if args.processes and args.worker < 0:
+        _spawn_multiproc(args)
+        return
 
+    if args.virtual and args.worker < 0:
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={args.virtual}")
@@ -45,7 +99,12 @@ def main():
 
     import jax
 
-    if args.virtual:
+    if args.worker >= 0:
+        jax.config.update("jax_platforms", "cpu")
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{args.port}",
+            num_processes=args.processes, process_id=args.worker)
+    elif args.virtual:
         jax.config.update("jax_platforms", "cpu")
 
     import dataclasses
@@ -97,6 +156,63 @@ def main():
     rel_t = jnp.asarray(rng.normal(0, 0.05, (s + 1, 3)), dtype)
     prior = MG.PriorState.empty(s, dtype)
 
+    def bench(step, inputs):
+        out = step(*inputs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = step(*inputs)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / args.iters * 1e3
+
+    inputs = (x0, pres, g_vec, map_xyz, map_mask, stacks_xyz,
+              stacks_mask, rel_q, rel_t, prior)
+
+    if args.worker >= 0:
+        # ---- multi-process mode: local 1-device baseline + global mesh ----
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental import multihost_utils
+
+        from lio_mapping_tpu.parallel import multihost as MH
+
+        local_mesh = Mesh(np.array(jax.local_devices()[:1]), (DIST.AXIS,))
+        base_ms = bench(DIST.make_distributed_step(local_mesh, cfg), inputs)
+
+        mesh = MH.global_mesh(DIST.AXIS)
+        n_glob = mesh.devices.size
+        repl = MH.replicate(
+            (x0, pres, g_vec, map_xyz, map_mask, rel_q, rel_t, prior), mesh)
+
+        def shard1(a):
+            a = np.asarray(a)
+            n_proc = jax.process_count()
+            chunk = a.shape[1] // n_proc
+            pid = jax.process_index()
+            return multihost_utils.host_local_array_to_global_array(
+                a[:, pid * chunk:(pid + 1) * chunk], mesh, P(None, DIST.AXIS))
+
+        g_inputs = (repl[0], repl[1], repl[2], repl[3], repl[4],
+                    shard1(stacks_xyz), shard1(stacks_mask),
+                    repl[5], repl[6], repl[7])
+        ms = bench(DIST.make_distributed_step(mesh, cfg), g_inputs)
+        if jax.process_index() == 0:
+            report = {
+                "mode": f"multiprocess-cpu ({jax.process_count()} procs)",
+                "processes": jax.process_count(),
+                "devices": int(n_glob),
+                "features_total": f_total,
+                "steps": [
+                    {"n_devices": 1, "ms_per_step": round(base_ms, 3)},
+                    {"n_devices": int(n_glob), "ms_per_step": round(ms, 3),
+                     "speedup": round(base_ms / ms, 3),
+                     "efficiency": round(base_ms / ms / n_glob, 3)},
+                ],
+                "note": ("CPU processes share one box: validates the "
+                         "cross-process (DCN) collective path, NOT speedup"),
+            }
+            print(json.dumps(report))
+        return
+
     results = []
     n = 1
     while n <= len(devices):
@@ -105,15 +221,7 @@ def main():
             continue
         mesh = Mesh(np.array(devices[:n]), (DIST.AXIS,))
         step = DIST.make_distributed_step(mesh, cfg)
-        out = step(x0, pres, g_vec, map_xyz, map_mask, stacks_xyz,
-                   stacks_mask, rel_q, rel_t, prior)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = step(x0, pres, g_vec, map_xyz, map_mask, stacks_xyz,
-                       stacks_mask, rel_q, rel_t, prior)
-        jax.block_until_ready(out)
-        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        ms = bench(step, inputs)
         results.append((n, ms))
         n *= 2
 
