@@ -71,6 +71,52 @@ def default_world() -> Tuple[BoxRoom, List[Box]]:
     return room, pillars
 
 
+def corridor_world(length: float = 300.0, width: float = 4.0,
+                   height: float = 3.0) -> Tuple[BoxRoom, List[Box]]:
+    """Feature-degenerate corridor: two parallel walls + floor/ceiling,
+    end walls far beyond sensor range. Plane constraints observe only
+    y/z/roll/pitch/yaw — translation ALONG the corridor (x) is
+    unconstrained by the LiDAR; the degeneracy projection
+    (PointOdometry.cc:584-615) and the IMU factor must carry it. A few
+    small wall-mounted boxes give the feature extractor corners without
+    breaking the degeneracy."""
+    room = BoxRoom(np.array([[-length / 2, -width / 2, -1.2],
+                             [length / 2, width / 2, height - 1.2]]))
+    # sparse shallow wall fixtures (too small to localize x reliably)
+    fixtures = []
+    rng = np.random.default_rng(11)
+    for x in np.arange(-length / 2 + 10, length / 2 - 10, 17.0):
+        side = 1.0 if (int(x) % 2 == 0) else -1.0
+        y0 = side * (width / 2 - 0.15)
+        z0 = float(rng.uniform(-0.6, 0.8))
+        fixtures.append(Box(np.array([
+            [x, min(y0, y0 + side * -0.12), z0],
+            [x + 0.4, max(y0, y0 + side * -0.12), z0 + 0.5]])))
+    return room, fixtures
+
+
+def outdoor_loop_world(extent: float = 220.0) -> Tuple[BoxRoom, List[Box]]:
+    """Outdoor-scale scene for a >200 m loop: a large ground 'room' (its
+    ceiling far above sensor range) populated with building-sized boxes
+    around the loop corridor so every sweep sees structure."""
+    room = BoxRoom(np.array([[-extent, -extent, -2.0],
+                             [extent, extent, 60.0]]))
+    rng = np.random.default_rng(5)
+    buildings = []
+    # ring of buildings inside and outside a ~35 m radius loop
+    for radius, n in ((22.0, 7), (52.0, 12)):
+        for i in range(n):
+            ang = 2 * np.pi * i / n + rng.uniform(-0.12, 0.12)
+            cx, cy = radius * np.cos(ang), radius * np.sin(ang)
+            w = rng.uniform(3.0, 8.0)
+            d = rng.uniform(3.0, 8.0)
+            h = rng.uniform(4.0, 14.0)
+            buildings.append(Box(np.array(
+                [[cx - w / 2, cy - d / 2, -2.0],
+                 [cx + w / 2, cy + d / 2, -2.0 + h]])))
+    return room, buildings
+
+
 def cast_rays(origin: np.ndarray, dirs: np.ndarray, room: BoxRoom, obstacles: List[Box]) -> np.ndarray:
     t = room.ray_hit(origin, dirs)
     for ob in obstacles:
@@ -136,6 +182,66 @@ class Trajectory:
         g_w = np.array([0.0, 0.0, -self.g_norm])
         acc_b = rot.inv().apply(a - g_w)
         return acc_b, omega_b
+
+
+@dataclasses.dataclass
+class LineTrajectory(Trajectory):
+    """Steady forward motion (+x) with the sinusoidal wobble of
+    :class:`Trajectory` on top — drives the corridor scene where
+    along-track translation is LiDAR-unobservable."""
+
+    forward_speed: float = 1.5
+
+    def pose(self, t: float):
+        rot, p, v, a, omega_b = super().pose(t)
+        p = p + np.array([self.forward_speed * t, 0.0, 0.0])
+        v = v + np.array([self.forward_speed, 0.0, 0.0])
+        return rot, p, v, a, omega_b
+
+
+class CircleTrajectory:
+    """Analytic loop trajectory: constant-speed circle of radius R with
+    yaw tracking the tangent — a >=2*pi*R loop with exact IMU. Same
+    interface as :class:`Trajectory` (pose / imu)."""
+
+    def __init__(self, radius: float = 35.0, speed: float = 8.0,
+                 g_norm: float = 9.805, z_amp: float = 0.3,
+                 z_freq: float = 0.05):
+        self.r = radius
+        self.w = speed / radius  # angular rate
+        self.g_norm = g_norm
+        self.z_amp = z_amp
+        self.z_freq = z_freq
+
+    def pose(self, t: float):
+        r, w = self.r, self.w
+        th = w * t
+        wz = 2 * np.pi * self.z_freq
+        p = np.array([r * np.cos(th), r * np.sin(th),
+                      self.z_amp * np.sin(wz * t)])
+        v = np.array([-r * w * np.sin(th), r * w * np.cos(th),
+                      self.z_amp * wz * np.cos(wz * t)])
+        a = np.array([-r * w * w * np.cos(th), -r * w * w * np.sin(th),
+                      -self.z_amp * wz * wz * np.sin(wz * t)])
+        yaw = th + np.pi / 2  # facing along the tangent
+        rot = Rotation.from_euler("Z", yaw)
+        omega_b = np.array([0.0, 0.0, w])  # constant yaw rate, body == world z
+        return rot, p, v, a, omega_b
+
+    def imu(self, t: float):
+        rot, p, v, a, omega_b = self.pose(t)
+        g_w = np.array([0.0, 0.0, -self.g_norm])
+        acc_b = rot.inv().apply(a - g_w)
+        return acc_b, omega_b
+
+    @property
+    def loop_time(self) -> float:
+        return 2 * np.pi / self.w
+
+    @property
+    def loop_length(self) -> float:
+        return 2 * np.pi * self.r
+
 
 
 # ---------------------------------------------------------------------------

@@ -135,22 +135,27 @@ class LioPipeline:
         self._predict = jax.jit(predict)
 
     # ------------------------------------------------------------------
-    def _merge_pending(self) -> jnp.ndarray:
-        """Merge accumulated packed IMU buffers into one device buffer."""
+    def _merge_pending(self) -> np.ndarray:
+        """Merge accumulated packed IMU buffers into one host buffer
+        (device transfer happens at dispatch inside the jitted program)."""
         m = self.cfg.estimator.imu.max_imu_per_frame
         if not self._pending:
-            return jnp.zeros((m + 1, 7), self.dtype)
+            return np.zeros((m + 1, 7), np.float32)
         if len(self._pending) == 1:
-            return jnp.asarray(self._pending[0], self.dtype)
-        return jnp.asarray(PI.merge_packed_np(self._pending, m), self.dtype)
+            return self._pending[0]
+        return PI.merge_packed_np(self._pending, m)
 
     # ------------------------------------------------------------------
-    def make_samples(self, dts, accs, gyrs, acc0, gyr0) -> jnp.ndarray:
-        """Pack host IMU arrays into ONE padded (M+1, 7) device buffer
-        (one transfer per sweep; unpacked inside the fused device program)."""
+    def make_samples(self, dts, accs, gyrs, acc0, gyr0) -> np.ndarray:
+        """Pack host IMU arrays into ONE padded (M+1, 7) HOST buffer.
+
+        Kept on host until the consuming program dispatch (jit moves it in
+        one transfer): reading a device array back per sweep would BLOCK
+        on the single device queue behind the in-flight step and destroy
+        the async pipeline (measured 60 -> 22 f/s on a tunneled v5e).
+        """
         m = self.cfg.estimator.imu.max_imu_per_frame
-        return jnp.asarray(
-            PI.pack_samples_np(dts, accs, gyrs, acc0, gyr0, m), self.dtype)
+        return PI.pack_samples_np(dts, accs, gyrs, acc0, gyr0, m)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -183,9 +188,10 @@ class LioPipeline:
             start_ori = jnp.asarray(
                 self._start_ori_tracker.update(raw_start_ori(xyz, mask)),
                 self.dtype)
-        xyzw = self._pack_xyzw(xyz, mask, self.dtype)
         self.frame_count += 1
         if samples is not None:
+            # host np buffer from make_samples; tolerate device arrays from
+            # direct callers (one readback — avoid in hot loops)
             self._pending.append(np.asarray(samples, np.float32))
         io = self._io_ratio
         is_compact = io < 2 or (self.frame_count % io == 1)
@@ -198,15 +204,20 @@ class LioPipeline:
         deskew_mode = cfg.estimator.enable_deskew or cfg.estimator.cutoff_deskew
         if self.stage == "INITED" and deskew_mode:
             if not is_compact:
+                # skipped sweep: its cloud is never consumed — do NOT pack
+                # or transfer it (on a tunneled chip the H2D transfer of a
+                # 64-beam sweep costs more than the whole estimator step)
                 lp = self._predict(self.est_state, self._merge_pending())
                 return {"stage": self.stage, "laser_pose": lp,
                         "predicted": True}
             merged = self._merge_pending()
             self._pending = []
             self.est_state, out = self._front_lio(
-                self.est_state, xyzw, start_ori, merged)
+                self.est_state, self._pack_xyzw(xyz, mask, self.dtype),
+                start_ori, merged)
             out["stage"] = self.stage
             return out
+        xyzw = self._pack_xyzw(xyz, mask, self.dtype)
 
         self.odom_state, odo_out = self._front_odo(
             self.odom_state, xyzw, start_ori, jnp.asarray(True))
@@ -247,7 +258,7 @@ class LioPipeline:
         self._pending = []
         self.est_state, out = EST.lio_step(
             self.est_state, odo_out["surf_cloud"],
-            PI.unpack_samples(merged), cfg,
+            PI.unpack_samples(merged.astype(self.dtype)), cfg,
             odo_out["corner_cloud"] if cfg.estimator.use_corner else None)
         out["stage"] = self.stage
         out["corner_cloud"] = odo_out["corner_cloud"]

@@ -7,19 +7,25 @@ multi-chip path); float64 is enabled so numeric-vs-analytic Jacobian checks
 
 import os
 
-# Force CPU: the driver environment may preset JAX_PLATFORMS=axon (tunneled
-# TPU), and its sitecustomize imports jax at interpreter start — so jax has
-# already captured the env var. Setting the env alone is too late; update
-# the live config too. Unit tests must run on the virtual 8-device CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+if os.environ.get("LIO_TEST_TPU"):
+    # On-device accuracy gates (verify skill: LIO_TEST_TPU=1 pytest -m tpu):
+    # keep the attached accelerator and the production f32 dtype.
+    import jax
+else:
+    # Force CPU: the driver environment may preset JAX_PLATFORMS=axon
+    # (tunneled TPU), and its sitecustomize imports jax at interpreter
+    # start — so jax has already captured the env var. Setting the env
+    # alone is too late; update the live config too. Unit tests must run
+    # on the virtual 8-device CPU mesh.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest

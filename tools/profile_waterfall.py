@@ -45,7 +45,9 @@ def main():
     dt = cfg.sensor.scan_period
 
     state_cap = {}
-    for i in range(cfg.estimator.window_size + 8):
+    for i in range(6 * cfg.estimator.window_size + 24):
+        if "state" in state_cap and "surf" in state_cap:
+            break
         t0 = i * dt
         xyz, mask = synthetic.simulate_sweep(
             traj, t0, n_azimuth=900, n_rings=cfg.sensor.n_rings,
@@ -59,8 +61,7 @@ def main():
         if pipe.stage == "INITED":
             state_cap = {"state": pipe.est_state, "samples": samples}
         out = pipe.process(xyz, mask, samples)
-        if pipe.stage == "INITED":
-            state_cap.setdefault("surf", out["surf_cloud"])
+        if pipe.stage == "INITED" and "surf_cloud" in out:
             state_cap["surf"] = out["surf_cloud"]
     assert pipe.stage == "INITED", "did not initialize"
 
