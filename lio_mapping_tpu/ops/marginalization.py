@@ -94,12 +94,41 @@ def prior_residual(prior: PriorState, qs, ps, sbs, ex_q, ex_p):
     return jnp.where(prior.valid, r, jnp.zeros_like(r))
 
 
-def psd_pinv(a: jnp.ndarray, eps: float = EPS):
-    """Eigenvalue-thresholded pseudo-inverse (MarginalizationFactor.cc:280-282)."""
+def _rel_tol(dtype) -> float:
+    """Eigenvalue cut as a fraction of the largest eigenvalue.
+
+    The reference's ABSOLUTE 1e-8 threshold (MarginalizationFactor.h:109)
+    is meaningful in f64 where eigh noise is ~|A|*1e-15; in f32 the noise
+    floor is ~|A|*1e-7 — with information norms reaching 1e6-1e8, pure
+    noise eigenvalues pass an absolute 1e-8 gate and inject bogus prior
+    directions whose bias compounds every sweep (measured: the ENTIRE 5x
+    f32-vs-f64 closed-loop ATE gap came from this). A dtype-relative cut
+    rejects them."""
+    return float(jnp.finfo(dtype).eps) * 100.0
+
+
+def _equilibrated_eigh(a: jnp.ndarray):
+    """eigh of D^-1 A D^-1 (Jacobi scaling, diag -> 1): compresses the
+    eigenvalue range across the p/theta/v/bias unit scales so f32 eigh
+    resolves the small eigenvalues. Returns (vals, vecs, d) with
+    A = D (V diag(vals) V^T) D."""
     a = 0.5 * (a + a.T)
-    vals, vecs = jnp.linalg.eigh(a)
-    inv_vals = jnp.where(vals > eps, 1.0 / jnp.where(vals > eps, vals, 1.0), 0.0)
-    return (vecs * inv_vals[None, :]) @ vecs.T
+    d = jnp.sqrt(jnp.clip(jnp.diag(a), 1e-12, None))
+    a_s = a / d[:, None] / d[None, :]
+    a_s = 0.5 * (a_s + a_s.T)
+    vals, vecs = jnp.linalg.eigh(a_s)
+    return vals, vecs, d
+
+
+def psd_pinv(a: jnp.ndarray, eps: float = EPS):
+    """Eigenvalue-thresholded pseudo-inverse (MarginalizationFactor.cc:280-282),
+    computed on the Jacobi-equilibrated matrix with a dtype-relative cut."""
+    vals, vecs, d = _equilibrated_eigh(a)
+    cut = jnp.maximum(jnp.max(vals) * _rel_tol(a.dtype), eps)
+    inv_vals = jnp.where(vals > cut, 1.0 / jnp.where(vals > cut, vals, 1.0), 0.0)
+    pinv_s = (vecs * inv_vals[None, :]) @ vecs.T
+    # pinv(A) = D^-1 pinv(A') D^-1
+    return pinv_s / d[:, None] / d[None, :]
 
 
 def schur_marginalize(a: jnp.ndarray, b: jnp.ndarray, m: int):
@@ -113,7 +142,15 @@ def schur_marginalize(a: jnp.ndarray, b: jnp.ndarray, m: int):
 
 def factorize_prior(a: jnp.ndarray, b: jnp.ndarray):
     """(A, b) -> whitened (lin_jac, lin_res) via eigendecomposition sqrt
-    (MarginalizationFactor.cc:293-302)."""
+    (MarginalizationFactor.cc:293-302).
+
+    Kept REFERENCE-EXACT (absolute threshold, unscaled): an equilibrated
+    variant with a relative cut is consistent as a factorization
+    (J^T J = A, J^T r = b to ~1e-7 relative in f32) but changes |r|^2 —
+    which feeds the convergence gates and the LM ftol — and measurably
+    destabilizes the closed loop. The f32 fragility lives in the SCHUR
+    pseudo-inverse (psd_pinv above), which is where the equilibration
+    goes."""
     a = 0.5 * (a + a.T)
     vals, vecs = jnp.linalg.eigh(a)
     keep = vals > EPS
