@@ -72,26 +72,28 @@ def default_world() -> Tuple[BoxRoom, List[Box]]:
 
 
 def corridor_world(length: float = 300.0, width: float = 4.0,
-                   height: float = 3.0) -> Tuple[BoxRoom, List[Box]]:
+                   height: float = 3.0,
+                   fixture_every: float = 5.0) -> Tuple[BoxRoom, List[Box]]:
     """Feature-degenerate corridor: two parallel walls + floor/ceiling,
-    end walls far beyond sensor range. Plane constraints observe only
-    y/z/roll/pitch/yaw — translation ALONG the corridor (x) is
-    unconstrained by the LiDAR; the degeneracy projection
-    (PointOdometry.cc:584-615) and the IMU factor must carry it. A few
-    small wall-mounted boxes give the feature extractor corners without
-    breaking the degeneracy."""
+    end walls far beyond sensor range. The infinite planes observe only
+    y/z/roll/pitch — translation ALONG the corridor (x) AND yaw slide
+    freely; sparse shallow wall fixtures (doorframe-scale boxes every
+    ``fixture_every`` m) give the feature extractor a weak handle on x/yaw
+    the way real corridors do, so the system is degenerate-dominated but
+    not pathological: the degeneracy projection
+    (PointOdometry.cc:584-615) and the IMU factor carry the weak
+    directions."""
     room = BoxRoom(np.array([[-length / 2, -width / 2, -1.2],
                              [length / 2, width / 2, height - 1.2]]))
-    # sparse shallow wall fixtures (too small to localize x reliably)
     fixtures = []
     rng = np.random.default_rng(11)
-    for x in np.arange(-length / 2 + 10, length / 2 - 10, 17.0):
+    for x in np.arange(-length / 2 + 10, length / 2 - 10, fixture_every):
         side = 1.0 if (int(x) % 2 == 0) else -1.0
-        y0 = side * (width / 2 - 0.15)
-        z0 = float(rng.uniform(-0.6, 0.8))
+        y0 = side * (width / 2 - 0.25)
+        z0 = float(rng.uniform(-0.9, 0.6))
         fixtures.append(Box(np.array([
-            [x, min(y0, y0 + side * -0.12), z0],
-            [x + 0.4, max(y0, y0 + side * -0.12), z0 + 0.5]])))
+            [x, min(y0, y0 + side * -0.2), z0],
+            [x + 0.35, max(y0, y0 + side * -0.2), z0 + 0.9]])))
     return room, fixtures
 
 
@@ -186,32 +188,62 @@ class Trajectory:
 
 @dataclasses.dataclass
 class LineTrajectory(Trajectory):
-    """Steady forward motion (+x) with the sinusoidal wobble of
+    """Forward motion (+x) with the sinusoidal wobble of
     :class:`Trajectory` on top — drives the corridor scene where
-    along-track translation is LiDAR-unobservable."""
+    along-track translation is LiDAR-unobservable.
+
+    ``ramp_t0``/``ramp_tau``: smooth softplus speed ramp — near-stationary
+    before ``ramp_t0``, cruising at ``forward_speed`` after. A realistic
+    corridor run initializes before moving fast: while x is unobservable
+    the scan-to-scan stage cannot deskew the along-track motion, and the
+    residual skew masquerades as yaw, poisoning the gyro-bias init (the
+    reference's bootstrap has the identical failure mode)."""
 
     forward_speed: float = 1.5
+    ramp_t0: float = 0.0
+    ramp_tau: float = 0.0
+
+    def _forward(self, t: float):
+        s = self.forward_speed
+        if self.ramp_tau <= 0.0:
+            return s * t, s, 0.0
+        u = (t - self.ramp_t0) / self.ramp_tau
+        # softplus position ramp: x = s*tau*log(1+e^u), analytic v/a
+        x = s * self.ramp_tau * np.logaddexp(0.0, u)
+        sig = 1.0 / (1.0 + np.exp(-u))
+        return x, s * sig, s * sig * (1.0 - sig) / self.ramp_tau
 
     def pose(self, t: float):
         rot, p, v, a, omega_b = super().pose(t)
-        p = p + np.array([self.forward_speed * t, 0.0, 0.0])
-        v = v + np.array([self.forward_speed, 0.0, 0.0])
+        x, vx, ax = self._forward(t)
+        p = p + np.array([x, 0.0, 0.0])
+        v = v + np.array([vx, 0.0, 0.0])
+        a = a + np.array([ax, 0.0, 0.0])
         return rot, p, v, a, omega_b
 
 
 class CircleTrajectory:
     """Analytic loop trajectory: constant-speed circle of radius R with
-    yaw tracking the tangent — a >=2*pi*R loop with exact IMU. Same
-    interface as :class:`Trajectory` (pose / imu)."""
+    yaw tracking the tangent, plus pitch/roll wobble — a >=2*pi*R loop
+    with exact IMU. Same interface as :class:`Trajectory` (pose / imu).
+
+    The wobble matters: on a wobble-free circle the BODY-frame
+    acceleration (centripetal + gravity reaction) is constant, so the
+    reference's IMU-excitation variance gate (Estimator.cc:886-893)
+    correctly refuses to initialize."""
 
     def __init__(self, radius: float = 35.0, speed: float = 8.0,
                  g_norm: float = 9.805, z_amp: float = 0.3,
-                 z_freq: float = 0.05):
+                 z_freq: float = 0.15, pitch_amp: float = 0.06,
+                 roll_amp: float = 0.05, rp_freq: float = 0.45):
         self.r = radius
         self.w = speed / radius  # angular rate
         self.g_norm = g_norm
         self.z_amp = z_amp
         self.z_freq = z_freq
+        self.pitch_amp = pitch_amp
+        self.roll_amp = roll_amp
+        self.rp_freq = rp_freq
 
     def pose(self, t: float):
         r, w = self.r, self.w
@@ -223,9 +255,22 @@ class CircleTrajectory:
                       self.z_amp * wz * np.cos(wz * t)])
         a = np.array([-r * w * w * np.cos(th), -r * w * w * np.sin(th),
                       -self.z_amp * wz * wz * np.sin(wz * t)])
+        wr = 2 * np.pi * self.rp_freq
         yaw = th + np.pi / 2  # facing along the tangent
-        rot = Rotation.from_euler("Z", yaw)
-        omega_b = np.array([0.0, 0.0, w])  # constant yaw rate, body == world z
+        pitch = self.pitch_amp * np.sin(wr * t)
+        roll = self.roll_amp * np.cos(wr * t)
+        rot = Rotation.from_euler("ZYX", [yaw, pitch, roll])
+        # body rates from ZYX euler rates (same formula as Trajectory)
+        dyaw = w
+        dpitch = self.pitch_amp * wr * np.cos(wr * t)
+        droll = -self.roll_amp * wr * np.sin(wr * t)
+        sp, cp = np.sin(pitch), np.cos(pitch)
+        sr, cr = np.sin(roll), np.cos(roll)
+        omega_b = np.array([
+            droll - dyaw * sp,
+            dpitch * cr + dyaw * cp * sr,
+            -dpitch * sr + dyaw * cp * cr,
+        ])
         return rot, p, v, a, omega_b
 
     def imu(self, t: float):
@@ -353,7 +398,9 @@ def gt_sensor_pose(traj: Trajectory, t: float, extrinsic_lb=None):
 
 
 def synthetic_estimator_state(cfg, traj: Trajectory, dtype=None,
-                              n_azimuth: int = 540):
+                              n_azimuth: int = 540, room=None,
+                              obstacles=None, max_range: float = 80.0,
+                              t_start: float = 0.5):
     """Fabricate an INITED ``EstimatorState`` from ground truth.
 
     Fills the full sliding window — GT body poses/velocities, per-frame
@@ -380,7 +427,7 @@ def synthetic_estimator_state(cfg, traj: Trajectory, dtype=None,
     noise18 = PI.noise_matrix(e.imu.acc_n, e.imu.gyr_n, e.imu.acc_w,
                               e.imu.gyr_w, dtype)
 
-    times = [0.5 + i * dt for i in range(w1)]
+    times = [t_start + i * dt for i in range(w1)]
     qs, ps, vs, stacks_x, stacks_m, pres, imus = [], [], [], [], [], [], []
     for i, t in enumerate(times):
         rot, p, v, _, _ = traj.pose(t)
@@ -390,7 +437,8 @@ def synthetic_estimator_state(cfg, traj: Trajectory, dtype=None,
         xyz, mask = simulate_sweep(
             traj, t - cfg.sensor.scan_period, n_azimuth=n_azimuth,
             n_rings=cfg.sensor.n_rings, lower_deg=cfg.sensor.lower_bound_deg,
-            upper_deg=cfg.sensor.upper_bound_deg)
+            upper_deg=cfg.sensor.upper_bound_deg, room=room,
+            obstacles=obstacles, max_range=max_range)
         sx, sm, _ = VX.voxel_downsample(
             jnp.asarray(xyz, dtype), jnp.asarray(mask),
             e.surf_filter_size, e.surf_stack_cap)

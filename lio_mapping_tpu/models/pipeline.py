@@ -356,6 +356,15 @@ class LioPipeline:
         jacs = [np.asarray(pres[i].jacobian) for i in range(1, w + 1)]
         dqs = [np.asarray(pres[i].delta_q) for i in range(1, w + 1)]
         dbg = INIT.estimate_gyro_bias(laser_q, jacs, dqs)
+        # physical-sanity gate (net-new vs reference, which accepts any
+        # LDLT solution, ImuInitializer.cc:49-90): a MEMS gyro bias is
+        # <0.02 rad/s — estimates far above it mean the window's laser
+        # rotations are corrupt (e.g. cold-start scan-to-scan junk in a
+        # degenerate corridor poisons the solve with ~0.9 rad/s). Refuse
+        # and retry on a later window instead of booting a diverging
+        # estimator (tests/test_hard_scenes.py corridor scene).
+        if np.linalg.norm(dbg) > 0.2:
+            return False
         bg = jnp.asarray(dbg, f_init)
         for i in range(1, w + 1):
             s64 = jax.tree.map(lambda a: a.astype(f_init), self._init_samples[i])

@@ -171,3 +171,82 @@ class TestIoRatioCadence:
             errs.append(np.linalg.norm(te - tg))
         rmse = float(np.sqrt(np.mean(np.square(errs))))
         assert rmse < 0.15, f"io_ratio=2 ATE RMSE {rmse:.3f} m, errs={errs}"
+
+
+@pytest.mark.slow
+class TestExtrinsicCalibration:
+    def test_from_scratch_extrinsic_closed_loop(self):
+        """BASELINE config 2's calibration path: estimate_extrinsic=2
+        (hand-eye SVD bootstrap, Estimator.cc:520-531 + opt_extrinsic in
+        the window solver) with a real laser->body offset in the
+        simulator. The pipeline must initialize, recover the extrinsic
+        ROTATION to a few degrees, and track the trajectory."""
+        cfg = small_cfg()
+        # true extrinsic: ~11 deg rotation + 12 cm offset
+        r_true = Rotation.from_euler("ZYX", [0.15, 0.1, -0.08])
+        q_true = np.roll(r_true.as_quat(), 1)
+        t_true = np.array([0.08, -0.05, 0.06])
+        cfg = dataclasses.replace(
+            cfg,
+            estimator=dataclasses.replace(
+                cfg.estimator,
+                estimate_extrinsic=2,
+                opt_extrinsic=True,
+                # start from identity rotation and the TRUE translation
+                # (the hand-eye calibrates rotation only; translation
+                # comes from config, as in the reference's yaml)
+                extrinsic_rotation=(1, 0, 0, 0, 1, 0, 0, 0, 1),
+                extrinsic_translation=tuple(t_true),
+            ))
+        # strong pitch/roll excitation: the hand-eye SVD gate needs
+        # rotation about >=2 axes (ImuInitializer.cc:404-417 — the same
+        # reason cli.py simulate defaults pitch/roll amplitude up)
+        traj = synthetic.Trajectory(g_norm=cfg.estimator.imu.g_norm,
+                                    pitch_amp=0.4, roll_amp=0.35,
+                                    rp_freq=0.45)
+        pipe = LioPipeline(cfg, dtype=jnp.float64)
+        dt = cfg.sensor.scan_period
+        n_sweeps = 24
+        ext = (q_true, t_true)
+
+        results = []
+        for i in range(n_sweeps):
+            t0 = i * dt
+            xyz, mask = synthetic.simulate_sweep(
+                traj, t0, n_azimuth=540, extrinsic_lb=ext)
+            ts, acc, gyr = synthetic.simulate_imu_interval(traj, t0, t0 + dt, 200.0)
+            a0, w0 = traj.imu(t0)
+            dts = np.diff(np.concatenate([[t0], ts]))
+            samples = pipe.make_samples(dts, acc, gyr, a0, w0)
+            out = pipe.process(xyz, mask, samples)
+            results.append((t0 + dt, out))
+
+        assert pipe.stage == "INITED", "calibration bootstrap failed"
+
+        # recovered extrinsic rotation within a few degrees of truth
+        q_est = np.asarray(pipe.est_state.q_lb)
+        r_est = rot_of(q_est)
+        ang = np.rad2deg((r_est.inv() * r_true).magnitude())
+        assert ang < 4.0, f"extrinsic rotation error {ang:.2f} deg"
+
+        # trajectory still tracks (laser pose vs GT sensor pose)
+        est, gt = [], []
+        for t_end, out in results:
+            if out["stage"] != "INITED" or "body_pose" not in out:
+                continue
+            est.append((np.array(out["laser_pose"].q), np.array(out["laser_pose"].t)))
+            gt.append(synthetic.gt_sensor_pose(traj, t_end, extrinsic_lb=ext))
+        assert len(est) >= 5
+        q0e, p0e = est[0]
+        q0g, p0g = gt[0]
+        r0e, r0g = rot_of(q0e), rot_of(q0g)
+        errs = []
+        for (qe, pe), (qg, pg) in zip(est, gt):
+            te = r0e.inv().apply(pe - p0e)
+            tg = r0g.inv().apply(np.asarray(pg) - p0g)
+            errs.append(np.linalg.norm(te - tg))
+        rmse = float(np.sqrt(np.mean(np.square(errs))))
+        # measured 0.22 m: the window is still refining the extrinsic
+        # (started 11 deg off) over this short sequence — gate the
+        # calibration transient against regression, not at steady-state
+        assert rmse < 0.35, f"calibrated-extrinsic ATE {rmse:.3f} m, errs={errs}"
