@@ -18,6 +18,7 @@ def main():
     n_proc = int(sys.argv[2])
     port = sys.argv[3]
     outdir = sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "ba"
 
     import jax
 
@@ -28,6 +29,8 @@ def main():
     from lio_mapping_tpu.parallel import multihost as MH
 
     MH.initialize(f"127.0.0.1:{port}", n_proc, pid)
+    if mode == "fullstep":
+        return fullstep(pid, outdir)
 
     import jax.numpy as jnp
     import numpy as np
@@ -83,6 +86,56 @@ def main():
     result = {"pid": pid, "n_devices": int(n_dev), "psum_ok": psum_ok,
               "p_diff": p_diff, "sb_diff": sb_diff,
               "ok": psum_ok and p_diff < 1e-6 and sb_diff < 1e-6}
+    with open(os.path.join(outdir, f"worker{pid}.json"), "w") as fh:
+        json.dump(result, fh)
+    print(f"proc {pid}: {result}", flush=True)
+
+
+def fullstep(pid, outdir):
+    """The FULL distributed lio_step over the process-spanning mesh: the
+    same program `run --mesh N` dispatches, with the psum/while_loop
+    collectives crossing the process boundary. 3 sweeps from a fabricated
+    INITED state; trajectory compared against the process-local
+    single-device step."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lio_mapping_tpu.io import synthetic
+    from lio_mapping_tpu.models import estimator as EST
+    from lio_mapping_tpu.parallel import lio_dist, multihost as MH
+    from tests.test_lio_dist import _make_inputs, _tiny_cfg
+
+    cfg = _tiny_cfg()
+    # smallest caps that divide the 4-device global mesh
+    est = dataclasses.replace(cfg.estimator, surf_stack_cap=256,
+                              local_map_filtered_cap=1024,
+                              max_solver_iterations=3)
+    cfg = dataclasses.replace(cfg, estimator=est)
+    dtype = jnp.float64
+    traj = synthetic.Trajectory(g_norm=cfg.estimator.imu.g_norm)
+    state, t_next = synthetic.synthetic_estimator_state(
+        cfg, traj, dtype, n_azimuth=240)
+
+    mesh = MH.global_mesh(lio_dist.AXIS)
+    step = lio_dist.make_sharded_lio_step(mesh, cfg)
+    s_g = MH.replicate(state, mesh)
+    s_l = state
+    dt = cfg.sensor.scan_period
+    diffs = []
+    for i in range(3):
+        cloud, samples = _make_inputs(cfg, traj, t_next + (i - 1) * dt, dtype)
+        s_l, out_l = EST.lio_step(s_l, cloud, samples, cfg)
+        cloud_g, samples_g = MH.replicate((cloud, samples), mesh)
+        s_g, out_g = step(s_g, cloud_g, samples_g)
+        diffs.append(float(np.max(np.abs(
+            MH.fetch(out_g["laser_pose"].t) - np.asarray(out_l["laser_pose"].t)))))
+
+    result = {"pid": pid, "mode": "fullstep",
+              "n_devices": int(mesh.devices.size),
+              "max_diff": max(diffs), "ok": max(diffs) < 1e-2}
     with open(os.path.join(outdir, f"worker{pid}.json"), "w") as fh:
         json.dump(result, fh)
     print(f"proc {pid}: {result}", flush=True)

@@ -25,8 +25,7 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.slow
-def test_two_process_mesh(tmp_path):
+def _launch(tmp_path, mode: str, timeout: int):
     n_proc = 2
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
@@ -38,25 +37,41 @@ def test_two_process_mesh(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(i), str(n_proc), str(port),
-             str(tmp_path)],
+             str(tmp_path), mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(n_proc)
     ]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out.decode())
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
 
+    results = []
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{outs[i]}"
-    for i in range(n_proc):
         with open(tmp_path / f"worker{i}.json") as fh:
-            result = json.load(fh)
+            results.append(json.load(fh))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_mesh(tmp_path):
+    for result in _launch(tmp_path, "ba", 900):
         assert result["n_devices"] == 4, result
         assert result["psum_ok"], result
-        assert result["ok"], f"worker {i} mismatch: {result}"
+        assert result["ok"], f"mismatch: {result}"
+
+
+@pytest.mark.slow
+def test_two_process_full_lio_step(tmp_path):
+    """The FULL distributed lio_step spanning 2 processes (the `run
+    --mesh` program with its collectives riding the DCN transport)
+    matches the process-local single-device step."""
+    for result in _launch(tmp_path, "fullstep", 1800):
+        assert result["n_devices"] == 4, result
+        assert result["ok"], f"mismatch: {result}"
