@@ -168,6 +168,8 @@ def cmd_run(args):
     sweeps = {}
     times, qs, ts = [], [], []
     next_id = 0
+    delay = cfg.estimator.msg_time_delay
+    prev_bound = None  # (t_b, acc_b, gyr_b): interpolated interval boundary
     with device_trace(args.trace_dir):
         for item in native.SequenceLog(args.log):
             if item[0] == "imu":
@@ -182,12 +184,36 @@ def cmd_run(args):
                     break
                 t, sid, imu_t, acc, gyr = pair
                 xyz, rel = sweeps.pop(sid)
-                if len(imu_t) >= 2:
-                    dts = np.diff(np.concatenate([[imu_t[0]], imu_t[1:]]))
-                    samples = pipe.make_samples(dts, acc[1:], gyr[1:], acc[0], gyr[0]) \
-                        if args.mode == "lio" else None
-                else:
-                    samples = None
+                samples = None
+                if args.mode == "lio" and len(imu_t) >= 2:
+                    # split the boundary IMU sample at exactly t + delay by
+                    # linear interpolation (Estimator.cc:373-385) so each
+                    # preintegration interval ends at the same offset from
+                    # its sweep stamp — sample-time jitter at the boundary
+                    # otherwise aliases into the init gyro-bias solve
+                    t_b = t + delay
+                    if imu_t[-1] > t_b and len(imu_t) >= 2:
+                        w = (t_b - imu_t[-2]) / max(imu_t[-1] - imu_t[-2], 1e-9)
+                        acc_b = (1 - w) * acc[-2] + w * acc[-1]
+                        gyr_b = (1 - w) * gyr[-2] + w * gyr[-1]
+                        imu_t = np.concatenate([imu_t[:-1], [t_b]])
+                        acc = np.concatenate([acc[:-1], acc_b[None]])
+                        gyr = np.concatenate([gyr[:-1], gyr_b[None]])
+                    else:
+                        acc_b, gyr_b = acc[-1], gyr[-1]
+                        t_b = imu_t[-1]
+                    if prev_bound is not None:
+                        t0_a, a0, w0 = prev_bound
+                        keep = imu_t > t0_a + 1e-9
+                        imu_ts = np.concatenate([[t0_a], imu_t[keep]])
+                        dts = np.diff(imu_ts)
+                        samples = pipe.make_samples(
+                            dts, acc[keep], gyr[keep], a0, w0)
+                    else:
+                        dts = np.diff(imu_t)
+                        samples = pipe.make_samples(
+                            dts, acc[1:], gyr[1:], acc[0], gyr[0])
+                    prev_bound = (t_b, acc_b, gyr_b)
                 step(t, xyz, np.ones(len(xyz), bool), samples)
 
     save_tum(args.out, times, np.stack(qs), np.stack(ts))

@@ -18,7 +18,6 @@ becomes a no-op by construction.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -26,7 +26,6 @@ process pipeline + 4 pthreads); this capability is net-new.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import numpy as np

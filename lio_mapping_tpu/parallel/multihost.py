@@ -25,7 +25,6 @@ cross-process psum + window-BA equivalence vs single-process) and
 
 from __future__ import annotations
 
-import os
 
 import jax
 import numpy as np
