@@ -35,6 +35,8 @@ def _profile(name: str, config_path: str = None):
 
 
 def cmd_simulate(args):
+    from scipy.spatial.transform import Rotation
+
     from .io import synthetic
     from . import native
 
@@ -44,6 +46,15 @@ def cmd_simulate(args):
     # path. --pitch-amp 0 --roll-amp 0 reproduces the flat trajectory.
     traj = synthetic.Trajectory(pitch_amp=args.pitch_amp, roll_amp=args.roll_amp,
                                 rp_freq=0.45)
+    # optional laser->body rig offset (e.g. the KAIST extrinsic of the
+    # outdoor profile, config/outdoor_test_config.yaml): the sensor rides
+    # at T_wb * T_bl while the IMU stays on the body trajectory
+    ext = None
+    if args.extrinsic_translation or args.extrinsic_ypr_deg:
+        t_lb = np.asarray(args.extrinsic_translation or (0.0, 0.0, 0.0))
+        ypr = np.deg2rad(np.asarray(args.extrinsic_ypr_deg or (0.0, 0.0, 0.0)))
+        q_lb = np.roll(Rotation.from_euler("ZYX", ypr).as_quat(), 1)
+        ext = (q_lb, t_lb)
     log = native.SequenceLog(args.out, write=True)
     dt = 0.1
     imu_rate = args.imu_rate
@@ -55,7 +66,8 @@ def cmd_simulate(args):
             t_imu += 1.0 / imu_rate
             acc, gyr = traj.imu(t_imu)
             log.write_imu(t_imu, acc.astype(np.float32), gyr.astype(np.float32))
-        xyz, mask = synthetic.simulate_sweep(traj, t0, n_azimuth=args.azimuth)
+        xyz, mask = synthetic.simulate_sweep(
+            traj, t0, n_azimuth=args.azimuth, extrinsic_lb=ext)
         rel = np.zeros(len(xyz), np.float32)
         log.write_sweep(t0 + dt, xyz[mask], rel[mask])
     log.close()
@@ -66,7 +78,7 @@ def cmd_simulate(args):
         times = [i * dt + dt for i in range(args.sweeps)]
         qs, ps = [], []
         for t in times:
-            q, p = synthetic.gt_sensor_pose(traj, t)
+            q, p = synthetic.gt_sensor_pose(traj, t, extrinsic_lb=ext)
             qs.append(q)
             ps.append(p)
         save_tum(args.gt_out, times, np.stack(qs), np.stack(ps))
@@ -442,6 +454,12 @@ def main(argv=None):
     p.add_argument("--pitch-amp", type=float, default=0.4)
     p.add_argument("--gt-out", default=None)
     p.add_argument("--roll-amp", type=float, default=0.35)
+    p.add_argument("--extrinsic-translation", nargs=3, type=float,
+                   default=None, metavar=("X", "Y", "Z"),
+                   help="laser->body rig offset t_lb (m)")
+    p.add_argument("--extrinsic-ypr-deg", nargs=3, type=float,
+                   default=None, metavar=("YAW", "PITCH", "ROLL"),
+                   help="laser->body rig rotation (deg, ZYX)")
     p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser("run")

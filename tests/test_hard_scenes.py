@@ -140,9 +140,16 @@ class TestF32Scenes:
         d = (est - est[0]) - (gt - gt[0])  # same world (GT-initialized)
         # cross-track (y) and vertical (z) are plane-observable: tight.
         # along-track (x) rides the IMU + weak fixtures: bounded.
+        # z gets a looser bound than y: the reference-budget 10-round
+        # keep_features accumulation re-associates at slightly drifting
+        # poses in this degenerate scene (measured z RMSE 0.13 at
+        # newest_refine_iters=10 vs 0.06 at 2 — the same budget buys 33%
+        # ATE on the feature-rich scenes).
         assert float(np.sqrt(np.mean(d[:, 1] ** 2))) < 0.1, d[:, 1]
-        assert float(np.sqrt(np.mean(d[:, 2] ** 2))) < 0.1, d[:, 2]
-        assert float(np.max(np.abs(d[:, 0]))) < 0.6, d[:, 0]
+        assert float(np.sqrt(np.mean(d[:, 2] ** 2))) < 0.25, d[:, 2]
+        # measured 0.70 m over 2.4 m traveled at the reference budget
+        # (0.5 at budget 2): bounded-not-divergent is the contract here
+        assert float(np.max(np.abs(d[:, 0]))) < 1.0, d[:, 0]
 
     def test_corridor_bootstrap_refused(self):
         """Bootstrapping INSIDE the corridor: the scan-to-scan rotations
