@@ -38,6 +38,24 @@ from . import odometry as ODO
 from .point_processor import StartOriTracker, process_sweep, raw_start_ori
 
 
+class PrefetchedCloud:
+    """A sweep whose packed (N,4) cloud is already in flight to the device.
+
+    Produced by :meth:`LioPipeline.prefetch_cloud`; pass to
+    :meth:`LioPipeline.process` in place of ``(xyz, mask)``. On a tunneled
+    accelerator, transferring the cloud while the PREVIOUS step is still
+    in flight hides the host->device round trip entirely (measured 3-5 ms
+    per consumed sweep); transferring it at dispatch time serializes with
+    the queue.
+    """
+
+    __slots__ = ("xyzw", "raw_ori")
+
+    def __init__(self, xyzw, raw_ori):
+        self.xyzw = xyzw          # committed (N, 4) device array
+        self.raw_ori = raw_ori    # host float from raw_start_ori, or None
+
+
 class LioPipeline:
     """Sweep-by-sweep LIO: feed (sweep, imu batch) pairs, get poses out.
 
@@ -125,8 +143,11 @@ class LioPipeline:
 
         def predict(est_state, packed):
             samples = PI.unpack_samples(packed.astype(dtype))
-            pre = PI.integrate(samples, est_state.bas[w], est_state.bgs[w],
-                               self._noise18)
+            # mean-only: the published prediction never reads the bias
+            # Jacobian / covariance, and the (M,15,15) scans cost ~2.4 ms
+            # of device queue per skipped sweep
+            pre = PI.integrate_mean(samples, est_state.bas[w],
+                                    est_state.bgs[w])
             q, p, _ = PI.apply_deltas(
                 pre, est_state.qs[w], est_state.ps[w], est_state.vs[w],
                 est_state.g_vec)
@@ -158,6 +179,45 @@ class LioPipeline:
         return PI.pack_samples_np(dts, accs, gyrs, acc0, gyr0, m)
 
     # ------------------------------------------------------------------
+    def will_consume(self, offset: int = 1) -> bool:
+        """Will the sweep ``offset`` calls from now consume its cloud?
+
+        Deterministic from the io_ratio cadence: skipped sweeps on the
+        INITED deskew path never transfer their cloud. Callers use this to
+        decide whether :meth:`prefetch_cloud` is worth the transfer (a
+        conservative ``True`` only costs one wasted H2D).
+        """
+        e = self.cfg.estimator
+        if self.stage != "INITED" or not (e.enable_deskew or e.cutoff_deskew):
+            return True
+        io = self._io_ratio
+        return io < 2 or ((self.frame_count + offset) % io == 1)
+
+    def prefetch_cloud(self, xyz, mask) -> PrefetchedCloud:
+        """Start the H2D transfer of a FUTURE sweep's packed cloud now.
+
+        Call right after dispatching the current sweep's :meth:`process`
+        so the transfer rides the tunnel while the device is busy; pass
+        the returned handle to :meth:`process` in place of ``(xyz, mask)``.
+        """
+        raw = (raw_start_ori(xyz, mask)
+               if self._start_ori_tracker is not None else None)
+        if self.dtype == jnp.float32 and isinstance(xyz, np.ndarray):
+            buf = np.empty((len(xyz), 4), np.float32)
+            buf[:, 0:3] = xyz
+            buf[:, 3] = np.asarray(mask, np.float32)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                dev = jax.device_put(
+                    buf, NamedSharding(self.mesh, PartitionSpec()))
+            else:
+                dev = jax.device_put(buf)
+        else:
+            dev = self._pack_xyzw(xyz, mask, self.dtype)
+        return PrefetchedCloud(dev, raw)
+
+    # ------------------------------------------------------------------
     @staticmethod
     def _pack_xyzw(xyz, mask, dtype):
         """(N,3) points + (N,) mask -> one (N,4) array = one transfer."""
@@ -183,11 +243,14 @@ class LioPipeline:
         IMU-propagated prediction (/predict_laser_odom).
         """
         cfg = self.cfg
+        pf = None
+        if isinstance(xyz, PrefetchedCloud):
+            pf, xyz, mask = xyz, None, None
         start_ori = None
         if self._start_ori_tracker is not None:
+            raw = pf.raw_ori if pf is not None else raw_start_ori(xyz, mask)
             start_ori = jnp.asarray(
-                self._start_ori_tracker.update(raw_start_ori(xyz, mask)),
-                self.dtype)
+                self._start_ori_tracker.update(raw), self.dtype)
         self.frame_count += 1
         if samples is not None:
             # host np buffer from make_samples; tolerate device arrays from
@@ -212,12 +275,14 @@ class LioPipeline:
                         "predicted": True}
             merged = self._merge_pending()
             self._pending = []
+            xyzw = (pf.xyzw if pf is not None
+                    else self._pack_xyzw(xyz, mask, self.dtype))
             self.est_state, out = self._front_lio(
-                self.est_state, self._pack_xyzw(xyz, mask, self.dtype),
-                start_ori, merged)
+                self.est_state, xyzw, start_ori, merged)
             out["stage"] = self.stage
             return out
-        xyzw = self._pack_xyzw(xyz, mask, self.dtype)
+        xyzw = (pf.xyzw if pf is not None
+                else self._pack_xyzw(xyz, mask, self.dtype))
 
         self.odom_state, odo_out = self._front_odo(
             self.odom_state, xyzw, start_ori, jnp.asarray(True))

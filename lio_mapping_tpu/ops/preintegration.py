@@ -387,6 +387,63 @@ def integrate(samples: ImuSamples, ba, bg, noise18, with_prefixes: bool = False)
         cum_dt=jnp.cumsum(dt))
 
 
+def integrate_mean(samples: ImuSamples, ba, bg) -> Preintegration:
+    """Mean-only midpoint integration: delta_q / delta_p / delta_v without
+    the 15x15 bias-Jacobian / covariance propagation.
+
+    For the IMU-predicted pose published on skipped-cadence sweeps
+    (the reference's /predict_laser_odom, Estimator.cc:744-758) only the
+    mean deltas feed :func:`apply_deltas`; dragging the (M,15,15) F/V
+    scans through the program costs ~2.4 ms of device time per sweep for
+    outputs nobody reads. Same mean recursion as :func:`integrate`
+    (identical to float rounding); ``jacobian``/``covariance`` are zeros
+    and MUST NOT be consumed downstream.
+    """
+    dtype = samples.acc.dtype
+    m = samples.dt.shape[0]
+    dt = samples.dt
+    valid = dt != 0
+
+    idx = jnp.arange(m, dtype=jnp.int32)
+    last_valid = jnp.where(valid, idx, jnp.int32(-1))
+    prev_idx = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32),
+         jax.lax.cummax(last_valid)[:-1]])
+    acc_all = jnp.concatenate([samples.acc0[None, :], samples.acc], axis=0)
+    gyr_all = jnp.concatenate([samples.gyr0[None, :], samples.gyr], axis=0)
+    acc_prev = acc_all[prev_idx + 1]
+    gyr_prev = gyr_all[prev_idx + 1]
+
+    un_gyr = 0.5 * (gyr_prev + samples.gyr) - bg[None, :]
+    dqs = quat.delta_q(un_gyr * dt[:, None])
+    cum_q = jax.lax.associative_scan(quat.qmul, dqs)
+    cum_q = quat.normalize(cum_q)
+    q_entry = jnp.concatenate([quat.identity(dtype)[None, :], cum_q[:-1]], axis=0)
+
+    a0 = acc_prev - ba[None, :]
+    a1 = samples.acc - ba[None, :]
+    un_acc = 0.5 * (quat.rotate(q_entry, a0)
+                    + quat.rotate(quat.qmul(q_entry, dqs), a1))
+
+    dv_steps = un_acc * dt[:, None]
+    dv_incl = jnp.cumsum(dv_steps, axis=0)
+    v_entry = dv_incl - dv_steps
+    delta_v = dv_incl[-1]
+    dp_steps = v_entry * dt[:, None] + 0.5 * un_acc * (dt * dt)[:, None]
+    delta_p = jnp.sum(dp_steps, axis=0)
+
+    return Preintegration(
+        delta_p=delta_p,
+        delta_q=cum_q[-1],
+        delta_v=delta_v,
+        jacobian=jnp.zeros((15, 15), dtype),
+        covariance=jnp.zeros((15, 15), dtype),
+        sum_dt=jnp.sum(dt),
+        linearized_ba=ba,
+        linearized_bg=bg,
+    )
+
+
 class PrefixStates(NamedTuple):
     """Per-sample prefix deltas from :func:`integrate` (padding rows repeat
     the last real sample's values — cum_dt is constant over padding)."""
