@@ -683,7 +683,8 @@ def lio_step_impl(
         opt_extrinsic=opt_ex,
         use_marg=jnp.asarray(True),
         eval0=eval0, imu_sqrt_infos=imu_sqrt_infos,
-        planes_extra=planes_extra, psum_axis=axis)
+        planes_extra=planes_extra, psum_axis=axis,
+        ftol=e.solver_ftol)
 
     if _TRUNCATE_STAGE == "solve":
         return st, {"q": x_opt.q}

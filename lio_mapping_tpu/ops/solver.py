@@ -332,6 +332,9 @@ def solve_window(
     imu_sqrt_infos=None,
     planes_extra=None,
     psum_axis=None,
+    step_abort_deg: float = 0.05,
+    step_abort_cm: float = 0.05,
+    ftol: float = 1e-6,
 ):
     """LM over the window. Returns (x_opt, diagnostics).
 
@@ -370,8 +373,15 @@ def solve_window(
     # total instead of 2N. Early exit via while_loop once the relative cost
     # drop falls below function_tolerance (Ceres's default gate; the
     # reference runs Ceres with defaults + max 10 iters,
-    # Estimator.cc:1909-1921).
-    ftol = 1e-6
+    # Estimator.cc:1909-1921) OR the pose step shrinks below the
+    # reference's own GN abort thresholds (0.05 deg / 0.05 cm,
+    # Estimator.cc:1480-1488 / PointMapping.cc:700-714). The ftol gate
+    # alone never fires in f32 — a 1e-6 relative drop is below the
+    # summation noise of ~1e4 Cauchy rows, so without the step gate the LM
+    # silently burns its full budget every sweep (measured: 8/8 iterations
+    # on every steady-state outdoor_64 sweep, ~2x the whole step's device
+    # time). ``ftol`` therefore defaults to a value that CAN fire in f32
+    # (config.solver_ftol).
 
     def lm_cond(carry):
         x, lam, cost, h, gv, gc, it, done = carry
@@ -392,7 +402,19 @@ def solve_window(
         h = jnp.where(accept, h2, h)
         gv = jnp.where(accept, g2, gv)
         gc = jnp.where(accept, gc2, gc)
-        done = accept & (cost - new_cost <= ftol * cost)
+        # step-size abort on the pose blocks (tiny step at a local minimum
+        # whether accepted or not — the trust region only shrinks from here)
+        dpose = (dx * m)[pose_off:pose_off + 6 * (s + 1)].reshape(s + 1, 6)
+        dt_cm = jnp.max(jnp.linalg.norm(dpose[:, 0:3], axis=-1)) * 100.0
+        dr_deg = jnp.rad2deg(jnp.max(jnp.linalg.norm(dpose[:, 3:6], axis=-1)))
+        small = (dr_deg < step_abort_deg) & (dt_cm < step_abort_cm)
+        done = (accept & (cost - new_cost <= ftol * cost)) | small
+        import os as _os
+        if _os.environ.get("LIO_DEBUG_LM"):  # trace-time switch
+            jax.debug.print(
+                "LM it={it} cost={c:.6e} new={n:.6e} acc={a} lam={l:.1e} "
+                "dr={r:.4f}deg dt={t:.4f}cm", it=it, c=cost, n=new_cost,
+                a=accept, l=lam, r=dr_deg, t=dt_cm)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-8), lam * 4.0)
         cost = jnp.where(accept, new_cost, cost)
         return (x, lam, cost, h, gv, gc, it + 1, done)
