@@ -1,0 +1,124 @@
+"""End-to-end CLI loop in CI (VERDICT r3 next #1).
+
+One closed path through every host-side ingest stage, driven purely via
+``cli.main`` — the reference's only integration test is exactly this bag
+replay (/root/reference/README.md:31-36, rosbag play -> nodes -> rviz):
+
+    simulate -> export-bag -> convert-bag (rosbag round trip)
+      -> run --mode lio (MeasurementQueue pairing + IMU boundary
+         interpolation, cli.py; full pipeline; --map-out global map;
+         --enable-4d map builder) -> evaluate (ATE gate)
+
+plus a ``run --mesh 2`` variant of the same loop (distributed estimator
+program from the CLI, virtual CPU devices).
+"""
+
+import re
+
+import numpy as np
+import pytest
+import yaml
+
+from lio_mapping_tpu import cli
+
+N_SWEEPS = 30
+
+SMALL_PROFILE = {
+    # small_cfg caps (tests/test_lio_pipeline.py) as a YAML profile: the
+    # CLI path must go through --config exactly like a user profile
+    "estimator": {
+        "window_size": 5,
+        "opt_window_size": 3,
+        "init_window_factor": 1,
+        "estimate_extrinsic": 0,
+        "opt_extrinsic": False,
+        "extrinsic_rotation": [1, 0, 0, 0, 1, 0, 0, 0, 1],
+        "extrinsic_translation": [0.0, 0.0, 0.0],
+        "surf_stack_cap": 2048,
+        "local_map_filtered_cap": 8192,
+        "features_per_frame_cap": 2048,
+        "max_solver_iterations": 8,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def sequence(tmp_path_factory):
+    """simulate -> export-bag -> convert-bag: the converted log + GT."""
+    d = tmp_path_factory.mktemp("e2e")
+    log = str(d / "seq.liol")
+    gt = str(d / "gt.tum")
+    bag = str(d / "seq.bag")
+    log2 = str(d / "seq_roundtrip.liol")
+    cfg_yaml = str(d / "small.yaml")
+
+    assert cli.main(["simulate", "--out", log, "--sweeps", str(N_SWEEPS),
+                     "--azimuth", "300", "--gt-out", gt]) == 0
+    assert cli.main(["export-bag", "--log", log, "--out", bag]) == 0
+    assert cli.main(["convert-bag", "--bag", bag, "--out", log2]) == 0
+    with open(cfg_yaml, "w") as f:
+        yaml.safe_dump(SMALL_PROFILE, f)
+    return {"dir": d, "log": log2, "gt": gt, "cfg": cfg_yaml}
+
+
+def _ate(capsys, est, gt):
+    assert cli.main(["evaluate", "--est", est, "--gt", gt]) == 0
+    out = capsys.readouterr().out
+    m = re.search(r"ATE RMSE: ([0-9.]+) m", out)
+    assert m, out
+    return float(m.group(1))
+
+
+@pytest.mark.slow
+def test_full_cli_loop(sequence, capsys):
+    """The flagship accuracy claim's exact host path, guarded in CI: bag
+    round trip -> MeasurementQueue -> boundary interpolation -> pipeline
+    -> timestamp-matched evaluate, with --map-out and --enable-4d on."""
+    d = sequence["dir"]
+    traj = str(d / "traj.tum")
+    traj4d = str(d / "traj_4d.tum")
+    pcd = str(d / "map.pcd")
+
+    assert cli.main(["run", "--log", sequence["log"], "--config",
+                     sequence["cfg"], "--out", traj, "--mode", "lio",
+                     "--map-out", pcd, "--enable-4d", "--out-4d",
+                     traj4d]) == 0
+    out = capsys.readouterr().out
+    assert "stage: INITED" in out, out
+    assert "4D-refined poses" in out, out
+    m = re.search(r"wrote (\d+) map voxels", out)
+    assert m and int(m.group(1)) > 500, out
+
+    ate = _ate(capsys, traj, sequence["gt"])
+    # measured 0.29 m on this 30-sweep sequence (CPU f32) — the init
+    # transient dominates at this length (the 90-sweep on-device flagship
+    # run reaches 0.18 m); gate at measured + 50%
+    assert ate < 0.45, f"CLI loop ATE {ate} m"
+
+    # the 4D refinement consumes the estimator output and must not wreck it
+    ate4d = _ate(capsys, traj4d, sequence["gt"])
+    assert ate4d < max(2.0 * ate, 0.3), f"4D ATE {ate4d} vs LIO {ate}"
+
+    # exported map is a sane reconstruction: valid header, enough points
+    with open(pcd, "rb") as f:
+        head = f.read(300).decode("ascii", "ignore")
+    assert "POINTS" in head and "DATA" in head
+
+
+@pytest.mark.slow
+def test_full_cli_loop_mesh2(sequence, capsys):
+    """Same loop distributed: run --mesh 2 builds the shard_map estimator
+    program over a 2-device mesh from the CLI."""
+    d = sequence["dir"]
+    traj = str(d / "traj_mesh2.tum")
+
+    assert cli.main(["run", "--log", sequence["log"], "--config",
+                     sequence["cfg"], "--out", traj, "--mode", "lio",
+                     "--mesh", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "distributed estimator over 2 devices" in out
+    assert "stage: INITED" in out, out
+
+    ate = _ate(capsys, traj, sequence["gt"])
+    # psum ordering differs from single-device; same gate with headroom
+    assert ate < 0.45, f"mesh-2 CLI loop ATE {ate} m"
