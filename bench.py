@@ -82,7 +82,9 @@ def bench_profile(profile: str, sweeps: int, warmup: int,
     imu_rate = 200.0
 
     # ---- pre-generate the synthetic sequence on host ----
-    n_total = sweeps * reps + 2 * (cfg.estimator.window_size + 4)
+    # slack beyond window fill: init can retry (gyro-bias gate slides the
+    # window) several times before accepting
+    n_total = sweeps * reps + 3 * (cfg.estimator.window_size + 4)
     frames = []
     for i in range(n_total):
         t0 = i * dt
@@ -125,6 +127,7 @@ def bench_profile(profile: str, sweeps: int, warmup: int,
     # deployments have >=1 sweep of lookahead for free — sweeps arrive
     # every 100 ms.
     best = None
+    chunk_fps = []
     for r in range(reps):
         todo = frames[consumed + r * sweeps:consumed + (r + 1) * sweeps]
         if not todo:
@@ -155,8 +158,18 @@ def bench_profile(profile: str, sweeps: int, warmup: int,
             "n_timed": len(todo),
             "reps": reps,
         }
+        chunk_fps.append(res["fps"])
         if best is None or res["fps"] > best["fps"]:
             best = res
+    if best is None:
+        # init retries (gyro-bias gate sliding the window) can exhaust the
+        # pre-generated frame headroom, leaving no timed chunk
+        return {"error": f"not enough frames after init/warmup ({profile})",
+                "fps": 0.0}
+    # per-chunk fps + median alongside best: the best-of-N methodology
+    # discards tunnel-queue jitter, but the spread must stay auditable
+    best["chunk_fps"] = chunk_fps
+    best["median_fps"] = round(float(np.median(chunk_fps)), 2)
     return best
 
 
@@ -202,6 +215,8 @@ def main():
             result["outdoor64_vs_baseline"] = o["vs_baseline"]
             result["outdoor64_per_sweep_ms"] = o["per_sweep_ms"]
             result["outdoor64_steps_per_sec"] = o["estimator_steps_per_sec"]
+            result["outdoor64_median_fps"] = o.get("median_fps")
+            result["outdoor64_chunk_fps"] = o.get("chunk_fps")
         print(json.dumps(result))
         return 0 if "error" not in result else 1
 
@@ -223,6 +238,8 @@ def main():
         "estimator_steps_per_sec": primary["estimator_steps_per_sec"],
         "io_ratio": primary["io_ratio"],
         "n_timed": primary["n_timed"],
+        "median_fps": primary.get("median_fps"),
+        "chunk_fps": primary.get("chunk_fps"),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -396,8 +396,9 @@ def integrate_mean(samples: ImuSamples, ba, bg) -> Preintegration:
     mean deltas feed :func:`apply_deltas`; dragging the (M,15,15) F/V
     scans through the program costs ~2.4 ms of device time per sweep for
     outputs nobody reads. Same mean recursion as :func:`integrate`
-    (identical to float rounding); ``jacobian``/``covariance`` are zeros
-    and MUST NOT be consumed downstream.
+    (identical to float rounding); ``jacobian`` is identity (so bias
+    corrections degrade gracefully if it ever flows into evaluate) but
+    ``covariance`` is zeros and MUST NOT be consumed downstream.
     """
     dtype = samples.acc.dtype
     m = samples.dt.shape[0]
@@ -436,7 +437,7 @@ def integrate_mean(samples: ImuSamples, ba, bg) -> Preintegration:
         delta_p=delta_p,
         delta_q=cum_q[-1],
         delta_v=delta_v,
-        jacobian=jnp.zeros((15, 15), dtype),
+        jacobian=jnp.eye(15, dtype=dtype),
         covariance=jnp.zeros((15, 15), dtype),
         sum_dt=jnp.sum(dt),
         linearized_ba=ba,

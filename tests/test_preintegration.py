@@ -79,6 +79,35 @@ class TestMidpointIntegration:
         np.testing.assert_allclose(np.asarray(pre2.delta_p), np.asarray(pre.delta_p), atol=1e-12)
         np.testing.assert_allclose(np.asarray(pre2.covariance), np.asarray(pre.covariance), atol=1e-15)
 
+    def test_integrate_mean_matches_integrate(self, pim):
+        """integrate_mean (the skipped-cadence predict path,
+        pipeline.py::predict) must produce the SAME mean deltas as the
+        full integrator — with and without padding, at nonzero biases —
+        and an identity bias-Jacobian so a stray downstream evaluate()
+        degrades gracefully instead of zeroing bias corrections
+        (ADVICE r3)."""
+        traj, samples, pre, noise18 = pim
+        ba = jnp.asarray([0.01, -0.02, 0.03], jnp.float64)
+        bg = jnp.asarray([0.002, 0.001, -0.003], jnp.float64)
+        full = PI.integrate(samples, ba, bg, noise18)
+        padded = PI.ImuSamples(
+            acc0=samples.acc0, gyr0=samples.gyr0,
+            dt=jnp.concatenate([samples.dt, jnp.zeros(7, jnp.float64)]),
+            acc=jnp.concatenate([samples.acc, jnp.ones((7, 3), jnp.float64)]),
+            gyr=jnp.concatenate([samples.gyr, jnp.ones((7, 3), jnp.float64)]),
+        )
+        for s in (samples, padded):
+            mean = PI.integrate_mean(s, ba, bg)
+            np.testing.assert_allclose(np.asarray(mean.delta_p),
+                                       np.asarray(full.delta_p), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(mean.delta_v),
+                                       np.asarray(full.delta_v), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(mean.delta_q),
+                                       np.asarray(full.delta_q), atol=1e-12)
+            np.testing.assert_allclose(float(mean.sum_dt), float(full.sum_dt),
+                                       atol=1e-12)
+            np.testing.assert_array_equal(np.asarray(mean.jacobian), np.eye(15))
+
     def test_bias_jacobian_vs_repropagation(self, pim):
         """jacobian_ predicts delta change under bias perturbation
         (the Repropagate cross-check)."""
