@@ -107,7 +107,8 @@ def cmd_run(args):
             print(f"distributed estimator over {mesh.devices.size} devices"
                   f"{' (map-sharded)' if args.map_shard else ''}")
         pipe = LioPipeline(cfg, dtype=jnp.float32, mesh=mesh,
-                           map_shard=args.map_shard)
+                           map_shard=args.map_shard,
+                           ingest_shard=args.ingest_shard)
     if args.resume:
         pipe.load(args.resume)
         print(f"resumed from {args.resume} (frame {pipe.frame_count})")
@@ -166,12 +167,16 @@ def cmd_run(args):
         ts.append(np.asarray(pose.t))
         if global_map is not None and out.get("stage") in ("INITED", "LOAM") \
                 and not out.get("predicted"):
-            from .utils import quaternion as quat
+            from scipy.spatial.transform import Rotation
 
             with timer.stage("global_map"):
-                world = np.asarray(quat.rotate(pose.q[None, :], jnp.asarray(xyz[mask]))) \
-                    + np.asarray(pose.t)
-                global_map.insert(world)
+                # transform host-side: the pose is already read back for the
+                # TUM output (qs/ts above); dispatching a device rotate here
+                # would add one extra program + a full-cloud D2H per sweep
+                # (measured 60 -> 22 f/s, the repo's no-readback rule)
+                world = Rotation.from_quat(np.roll(qs[-1], -1)).apply(xyz[mask]) \
+                    + ts[-1]
+                global_map.insert(world.astype(np.float32))
         if args.checkpoint_out and args.checkpoint_every and \
                 len(times) % args.checkpoint_every == 0:
             with timer.stage("checkpoint"):
@@ -495,6 +500,10 @@ def main(argv=None):
     p.add_argument("--map-shard", action="store_true",
                    help="with --mesh: shard the local map too "
                         "(ppermute-ring association)")
+    p.add_argument("--ingest-shard", action="store_true",
+                   help="with --mesh: each process/device transfers only "
+                        "its row slice of the packed cloud (on-device "
+                        "all_gather reassembles it)")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("bag-info")

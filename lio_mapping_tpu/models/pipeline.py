@@ -67,10 +67,15 @@ class LioPipeline:
     """
 
     def __init__(self, cfg: LioConfig, dtype=jnp.float32, mesh=None,
-                 map_shard: bool = False):
+                 map_shard: bool = False, ingest_shard: bool = False):
         self.cfg = cfg
         self.dtype = dtype
         self.mesh = mesh
+        # sharded ingest (SURVEY §7 phase 9): each process/device transfers
+        # only its row slice of the packed cloud; the program all_gathers
+        # over ICI/DCN (far cheaper than every host pushing the full sweep)
+        self.ingest_shard = bool(ingest_shard) and mesh is not None
+        self._multiproc = mesh is not None and jax.process_count() > 1
         self.odom_state = ODO.init_state(cfg, dtype)
         self.est_state = EST.init_state(cfg, dtype)
         self.stage = "NOT_INITED"
@@ -131,9 +136,21 @@ class LioPipeline:
             from ..parallel import lio_dist
 
             lio_dist.check_caps(cfg, mesh.devices.size)
+            if self.ingest_shard:
+                # cloud arrives row-sharded; reassemble on-device (tiled
+                # all_gather preserves row order) before the front end
+                def body(est_state, xyzw, start_ori, packed):
+                    xyzw = jax.lax.all_gather(
+                        xyzw, lio_dist.AXIS, axis=0, tiled=True)
+                    return front_lio_body(est_state, xyzw, start_ori,
+                                          packed, axis=lio_dist.AXIS)
+
+                in_specs = (P(), P(lio_dist.AXIS), P(), P())
+            else:
+                body = partial(front_lio_body, axis=lio_dist.AXIS)
+                in_specs = (P(), P(), P(), P())
             fn = jax.shard_map(
-                partial(front_lio_body, axis=lio_dist.AXIS),
-                mesh=mesh, in_specs=(P(), P(), P(), P()),
+                body, mesh=mesh, in_specs=in_specs,
                 out_specs=(P(), P()), check_vma=False)
             self._front_lio = jax.jit(fn)
 
@@ -179,6 +196,15 @@ class LioPipeline:
         return PI.pack_samples_np(dts, accs, gyrs, acc0, gyr0, m)
 
     # ------------------------------------------------------------------
+    def _is_compact(self, frame_count: int) -> bool:
+        """io_ratio cadence: does the sweep numbered ``frame_count``
+        (1-based, i.e. post-increment) consume its cloud? The single
+        source of truth for the `odom_io` decimation
+        (PointOdometry.cc:725-729) — used by both :meth:`process` and
+        :meth:`will_consume`."""
+        io = self._io_ratio
+        return io < 2 or (frame_count % io == 1)
+
     def will_consume(self, offset: int = 1) -> bool:
         """Will the sweep ``offset`` calls from now consume its cloud?
 
@@ -190,8 +216,7 @@ class LioPipeline:
         e = self.cfg.estimator
         if self.stage != "INITED" or not (e.enable_deskew or e.cutoff_deskew):
             return True
-        io = self._io_ratio
-        return io < 2 or ((self.frame_count + offset) % io == 1)
+        return self._is_compact(self.frame_count + offset)
 
     def prefetch_cloud(self, xyz, mask) -> PrefetchedCloud:
         """Start the H2D transfer of a FUTURE sweep's packed cloud now.
@@ -206,16 +231,43 @@ class LioPipeline:
             buf = np.empty((len(xyz), 4), np.float32)
             buf[:, 0:3] = xyz
             buf[:, 3] = np.asarray(mask, np.float32)
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                dev = jax.device_put(
-                    buf, NamedSharding(self.mesh, PartitionSpec()))
-            else:
-                dev = jax.device_put(buf)
+            dev = self._commit_cloud(buf) if self.mesh is not None \
+                else jax.device_put(buf)
         else:
             dev = self._pack_xyzw(xyz, mask, self.dtype)
+            if self.mesh is not None:
+                dev = self._commit_cloud(np.asarray(dev))
         return PrefetchedCloud(dev, raw)
+
+    def _commit_cloud(self, buf: np.ndarray):
+        """Host (N, 4) packed cloud -> mesh-committed device array.
+
+        Replicated by default; with ``ingest_shard`` the rows are sharded
+        over the mesh axis (each process transfers only its slice —
+        multihost.shard_rows semantics) and the program reassembles them
+        with a tiled all_gather. Rows pad to a mesh-size multiple with
+        mask 0 (a no-op through the masked front end)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import lio_dist
+
+        if not self.ingest_shard:
+            if self._multiproc:
+                from ..parallel import multihost as MH
+
+                return MH.replicate(buf, self.mesh)
+            return jax.device_put(buf, NamedSharding(self.mesh, P()))
+        d = self.mesh.devices.size
+        pad = (-buf.shape[0]) % d
+        if pad:
+            buf = np.concatenate(
+                [buf, np.zeros((pad, buf.shape[1]), buf.dtype)], axis=0)
+        if self._multiproc:
+            from ..parallel import multihost as MH
+
+            return MH.shard_rows(buf, self.mesh, lio_dist.AXIS)
+        return jax.device_put(
+            buf, NamedSharding(self.mesh, P(lio_dist.AXIS)))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -256,8 +308,7 @@ class LioPipeline:
             # host np buffer from make_samples; tolerate device arrays from
             # direct callers (one readback — avoid in hot loops)
             self._pending.append(np.asarray(samples, np.float32))
-        io = self._io_ratio
-        is_compact = io < 2 or (self.frame_count % io == 1)
+        is_compact = self._is_compact(self.frame_count)
         if is_compact:
             self._compact_count += 1
 
@@ -275,8 +326,23 @@ class LioPipeline:
                         "predicted": True}
             merged = self._merge_pending()
             self._pending = []
-            xyzw = (pf.xyzw if pf is not None
-                    else self._pack_xyzw(xyz, mask, self.dtype))
+            if pf is not None:
+                xyzw = pf.xyzw
+            elif self.mesh is not None:
+                np_dtype = np.dtype(jnp.zeros((), self.dtype).dtype)
+                buf = np.empty((len(xyz), 4), np_dtype)
+                buf[:, 0:3] = np.asarray(xyz)[:, 0:3]
+                buf[:, 3] = np.asarray(mask, np_dtype)
+                xyzw = self._commit_cloud(buf)
+            else:
+                xyzw = self._pack_xyzw(xyz, mask, self.dtype)
+            if self._multiproc:
+                from ..parallel import multihost as MH
+
+                merged, start_ori = MH.replicate((merged, start_ori),
+                                                 self.mesh) \
+                    if start_ori is not None \
+                    else (MH.replicate(merged, self.mesh), None)
             self.est_state, out = self._front_lio(
                 self.est_state, xyzw, start_ori, merged)
             out["stage"] = self.stage

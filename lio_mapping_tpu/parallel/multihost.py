@@ -18,6 +18,14 @@ Usage (every participating process runs the same program):
         state, out = step(state, cloud, samples)       # state stays global
         pose = MH.fetch(out["laser_pose"])             # local copy
 
+Or drive the whole host loop through the pipeline with SHARDED ingest
+(each process transfers only its row slice of the packed cloud; the
+program reassembles it with a tiled all_gather riding ICI/DCN — per-host
+transfer volume drops ~1/P):
+
+    pipe = LioPipeline(cfg, mesh=MH.global_mesh(), ingest_shard=True)
+    out = pipe.process(xyz, mask, pipe.make_samples(...))  # every host
+
 Validated by tests/test_multihost.py (2 CPU processes x 2 virtual devices,
 cross-process psum + window-BA equivalence vs single-process) and
 ``tools/bench_scaling.py --processes N``.

@@ -148,8 +148,10 @@ class TestF32Scenes:
         assert float(np.sqrt(np.mean(d[:, 1] ** 2))) < 0.1, d[:, 1]
         assert float(np.sqrt(np.mean(d[:, 2] ** 2))) < 0.25, d[:, 2]
         # measured 0.70 m over 2.4 m traveled at the reference budget
-        # (0.5 at budget 2): bounded-not-divergent is the contract here
-        assert float(np.max(np.abs(d[:, 0]))) < 1.0, d[:, 0]
+        # (0.5 at budget 2): bounded-not-divergent is the contract here.
+        # Gate at measured + margin (VERDICT r3 weak #5) so a real
+        # degradation trips it, not only outright divergence.
+        assert float(np.max(np.abs(d[:, 0]))) < 0.85, d[:, 0]
 
     def test_corridor_bootstrap_refused(self):
         """Bootstrapping INSIDE the corridor: the scan-to-scan rotations

@@ -174,6 +174,63 @@ class TestIoRatioCadence:
 
 
 @pytest.mark.slow
+class TestPrefetchAndCadence:
+    """Bench-loop paths (ADVICE r3): PrefetchedCloud processing must match
+    the plain (xyz, mask) path pose-for-pose, and ``will_consume(1)``
+    evaluated before each call must agree with the ``predicted`` flag the
+    call actually returns (one cadence predicate, pipeline._is_compact)."""
+
+    @pytest.mark.parametrize("mesh_n,ingest_shard",
+                             [(0, False), (2, False), (2, True)],
+                             ids=["single", "mesh2", "mesh2_ingest"])
+    def test_prefetch_matches_plain_and_cadence_agrees(self, mesh_n,
+                                                       ingest_shard):
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg, estimator=dataclasses.replace(cfg.estimator, odom_io=2))
+        traj = synthetic.Trajectory(g_norm=cfg.estimator.imu.g_norm)
+        mesh = None
+        if mesh_n:
+            from lio_mapping_tpu.parallel import lio_dist
+
+            mesh = lio_dist.make_mesh(mesh_n)
+        # both pipelines share the mesh (or its absence): prefetch and
+        # sharded ingest must be pure transport changes, and the sharded
+        # program's psum ordering differs from single-device
+        # (tests/test_lio_dist.py covers that)
+        pipe_plain = LioPipeline(cfg, dtype=jnp.float32, mesh=mesh)
+        pipe_pf = LioPipeline(cfg, dtype=jnp.float32, mesh=mesh,
+                              ingest_shard=ingest_shard)
+        dt = cfg.sensor.scan_period
+        n_sweeps = 20
+
+        n_pred = 0
+        for i in range(n_sweeps):
+            t0 = i * dt
+            xyz, mask = synthetic.simulate_sweep(traj, t0, n_azimuth=540)
+            ts, acc, gyr = synthetic.simulate_imu_interval(traj, t0, t0 + dt, 200.0)
+            a0, w0 = traj.imu(t0)
+            dts = np.diff(np.concatenate([[t0], ts]))
+            out1 = pipe_plain.process(
+                xyz, mask, pipe_plain.make_samples(dts, acc, gyr, a0, w0))
+            wc = pipe_pf.will_consume(1)
+            pf = pipe_pf.prefetch_cloud(xyz, mask) if wc else None
+            out2 = pipe_pf.process(
+                pf if pf is not None else xyz,
+                None if pf is not None else mask,
+                pipe_pf.make_samples(dts, acc, gyr, a0, w0))
+            assert wc == (not out2.get("predicted", False)), i
+            if out2.get("predicted"):
+                n_pred += 1
+            np.testing.assert_allclose(
+                np.asarray(out1["laser_pose"].t),
+                np.asarray(out2["laser_pose"].t), atol=5e-4,
+                err_msg=f"sweep {i} ({out1['stage']}/{out2['stage']})")
+        assert pipe_plain.stage == "INITED" and pipe_pf.stage == "INITED"
+        assert n_pred >= 3  # the cadence actually skipped sweeps
+
+
+@pytest.mark.slow
 class TestExtrinsicCalibration:
     def test_from_scratch_extrinsic_closed_loop(self):
         """BASELINE config 2's calibration path: estimate_extrinsic=2
