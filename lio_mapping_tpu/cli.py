@@ -134,6 +134,39 @@ def cmd_run(args):
         self_rot = np.asarray(KAIST_SELF_FILTER_ROTATION, np.float32)
         self_box = KAIST_SELF_FILTER_BOX
 
+    # Deferred readbacks: poses are buffered as DEVICE references and
+    # converted in chunks — np.asarray on a per-sweep pose would block the
+    # host on the in-flight step every sweep, exposing the tunnel round
+    # trip (~10-30 ms) and capping replay throughput at a fraction of the
+    # device rate. A chunked flush blocks once per FLUSH_EVERY sweeps on a
+    # long-finished step, so replay streams at the bench rate.
+    FLUSH_EVERY = 64
+    pend_t, pend_q, pend_p = [], [], []       # stamps + device pose refs
+    pend_t4, pend_q4, pend_p4 = [], [], []    # 4D builder output refs
+    map_pend = []                             # (idx in pend, masked xyz)
+
+    def flush():
+        from scipy.spatial.transform import Rotation
+
+        qs_h = [np.asarray(q, np.float64) for q in pend_q]
+        ps_h = [np.asarray(p, np.float64) for p in pend_p]
+        times.extend(pend_t)
+        qs.extend(qs_h)
+        ts.extend(ps_h)
+        if global_map is not None and map_pend:
+            with timer.stage("global_map"):
+                for idx, xyzm in map_pend:
+                    world = Rotation.from_quat(np.roll(qs_h[idx], -1)) \
+                        .apply(xyzm) + ps_h[idx]
+                    global_map.insert(world.astype(np.float32))
+            map_pend.clear()
+        pend_t.clear(), pend_q.clear(), pend_p.clear()
+        for tt, qq, pp in zip(pend_t4, pend_q4, pend_p4):
+            times_4d.append(tt)
+            qs_4d.append(np.asarray(qq))
+            ts_4d.append(np.asarray(pp))
+        pend_t4.clear(), pend_q4.clear(), pend_p4.clear()
+
     def step(t, xyz, mask, samples):
         nonlocal mb_state
         if self_rot is not None:
@@ -159,26 +192,19 @@ def cmd_run(args):
                 pose_4d = mb_out["pose"]
                 if timer.sync:
                     jax.block_until_ready(pose_4d.t)
-            times_4d.append(t)
-            qs_4d.append(np.asarray(pose_4d.q))
-            ts_4d.append(np.asarray(pose_4d.t))
-        times.append(t)
-        qs.append(np.asarray(pose.q))
-        ts.append(np.asarray(pose.t))
+            pend_t4.append(t)
+            pend_q4.append(pose_4d.q)
+            pend_p4.append(pose_4d.t)
+        pend_t.append(t)
+        pend_q.append(pose.q)
+        pend_p.append(pose.t)
         if global_map is not None and out.get("stage") in ("INITED", "LOAM") \
                 and not out.get("predicted"):
-            from scipy.spatial.transform import Rotation
-
-            with timer.stage("global_map"):
-                # transform host-side: the pose is already read back for the
-                # TUM output (qs/ts above); dispatching a device rotate here
-                # would add one extra program + a full-cloud D2H per sweep
-                # (measured 60 -> 22 f/s, the repo's no-readback rule)
-                world = Rotation.from_quat(np.roll(qs[-1], -1)).apply(xyz[mask]) \
-                    + ts[-1]
-                global_map.insert(world.astype(np.float32))
+            map_pend.append((len(pend_t) - 1, np.asarray(xyz)[mask]))
+        if len(pend_t) >= FLUSH_EVERY:
+            flush()
         if args.checkpoint_out and args.checkpoint_every and \
-                len(times) % args.checkpoint_every == 0:
+                (len(times) + len(pend_t)) % args.checkpoint_every == 0:
             with timer.stage("checkpoint"):
                 pipe.save(args.checkpoint_out)
 
@@ -232,6 +258,7 @@ def cmd_run(args):
                             dts, acc[1:], gyr[1:], acc[0], gyr[0])
                     prev_bound = (t_b, acc_b, gyr_b)
                 step(t, xyz, np.ones(len(xyz), bool), samples)
+    flush()
 
     save_tum(args.out, times, np.stack(qs), np.stack(ts))
     stage = pipe.stage if args.mode == "lio" else "LOAM"

@@ -599,9 +599,11 @@ def lio_step_impl(
     # 0.05deg/0.05cm usually converges the refinement in 2-4 rounds).
     n_ref = e.newest_refine_iters if e.imu_factor else 0
     planes_extra = None
+    newest_rounds = jnp.zeros((), jnp.int32)
     if n_ref > 0:
         _, _, pts_n, coeff_acc, ok_acc, n_exec = _calculate_laser_odom(
             assoc, frame_stacks(w), rel.q[w], rel.t[w], cfg, n_ref, axis=axis)
+        newest_rounds = n_exec
         last = jnp.maximum(n_exec - 1, 0)
         coeff_n = jax.lax.dynamic_index_in_dim(coeff_acc, last, 0, keepdims=False)
         ok_n = jax.lax.dynamic_index_in_dim(ok_acc, last, 0, keepdims=False)
@@ -767,6 +769,7 @@ def lio_step_impl(
         "convergence": convergence_flag,
         "n_features": diag.n_plane,
         "solver_iterations": diag.iterations,
+        "newest_rounds": newest_rounds,
     }
     return st, outputs
 

@@ -67,7 +67,8 @@ class LioPipeline:
     """
 
     def __init__(self, cfg: LioConfig, dtype=jnp.float32, mesh=None,
-                 map_shard: bool = False, ingest_shard: bool = False):
+                 map_shard: bool = False, ingest_shard: bool = False,
+                 host_predict: bool = False):
         self.cfg = cfg
         self.dtype = dtype
         self.mesh = mesh
@@ -76,6 +77,19 @@ class LioPipeline:
         # over ICI/DCN (far cheaper than every host pushing the full sweep)
         self.ingest_shard = bool(ingest_shard) and mesh is not None
         self._multiproc = mesh is not None and jax.process_count() > 1
+        # host-side IMU prediction for skipped-cadence sweeps: the
+        # /predict_laser_odom pose is ~50 midpoint steps of scalar math.
+        # Computing it on host removes the predict program (and its
+        # executable switch) from the device queue entirely — but reading
+        # the last consumed step's state BLOCKS on that step, exposing the
+        # tunnel round trip. Measured on the attached chip: a LATENCY
+        # DISASTER for the no-readback streaming loop (bench: 114 -> 37
+        # f/s), a pure win for consumers that read every pose back anyway
+        # (the CLI host loop — the snap is already on host by the time the
+        # skipped sweep arrives). Default OFF; cli.run turns it on.
+        # Device fallback: mesh mode, or before the first consumed step.
+        self.host_predict = bool(host_predict) and mesh is None
+        self._snap = None  # device refs of the last consumed step's state
         self.odom_state = ODO.init_state(cfg, dtype)
         self.est_state = EST.init_state(cfg, dtype)
         self.stage = "NOT_INITED"
@@ -194,6 +208,62 @@ class LioPipeline:
         """
         m = self.cfg.estimator.imu.max_imu_per_frame
         return PI.pack_samples_np(dts, accs, gyrs, acc0, gyr0, m)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _host_predict_pose(snap: dict, packed: np.ndarray) -> Pose:
+        """Numpy mirror of the device predict program (midpoint IMU
+        propagation from the last consumed step's state + laser_pose,
+        Estimator.cc:387-394 / :1391-1394). ``snap`` values may be device
+        arrays (async copies already in flight) or numpy."""
+        from scipy.spatial.transform import Rotation
+
+        q = np.asarray(snap["q"], np.float64)
+        p = np.asarray(snap["p"], np.float64)
+        v = np.asarray(snap["v"], np.float64)
+        ba = np.asarray(snap["ba"], np.float64)
+        bg = np.asarray(snap["bg"], np.float64)
+        g = np.asarray(snap["g"], np.float64)
+        q_lb = np.asarray(snap["ex_q"], np.float64)
+        t_lb = np.asarray(snap["ex_p"], np.float64)
+
+        rot = Rotation.from_quat(np.roll(q, -1))
+        acc_prev = np.asarray(packed[0, 1:4], np.float64)
+        gyr_prev = np.asarray(packed[0, 4:7], np.float64)
+        for k in range(1, packed.shape[0]):
+            dt = float(packed[k, 0])
+            if dt == 0.0:
+                continue
+            acc = np.asarray(packed[k, 1:4], np.float64)
+            gyr = np.asarray(packed[k, 4:7], np.float64)
+            un_acc0 = rot.apply(acc_prev - ba) + g
+            un_gyr = 0.5 * (gyr_prev + gyr) - bg
+            rot_new = rot * Rotation.from_rotvec(un_gyr * dt)
+            un_acc = 0.5 * (un_acc0 + (rot_new.apply(acc - ba) + g))
+            p = p + dt * v + 0.5 * dt * dt * un_acc
+            v = v + dt * un_acc
+            rot = rot_new
+            acc_prev, gyr_prev = acc, gyr
+
+        # laser pose: R_l = R_b R_lb^-1, p_l = p_b - R_l t_lb
+        rot_l = rot * Rotation.from_quat(np.roll(q_lb, -1)).inv()
+        p_l = p - rot_l.apply(t_lb)
+        return Pose(np.roll(rot_l.as_quat(), 1).astype(np.float32),
+                    p_l.astype(np.float32))
+
+    def _update_snap(self, out: dict):
+        """Cache the consumed step's state outputs for host prediction and
+        start their D2H copies (they complete while the device moves on)."""
+        snap = {"q": out["body_pose"].q, "p": out["body_pose"].t,
+                "v": out["velocity"], "ba": out["ba"], "bg": out["bg"],
+                "ex_q": out["ex_q"], "ex_p": out["ex_p"],
+                "g": self.est_state.g_vec}
+        for a in snap.values():
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        self._snap = snap
 
     # ------------------------------------------------------------------
     def _is_compact(self, frame_count: int) -> bool:
@@ -321,7 +391,11 @@ class LioPipeline:
                 # skipped sweep: its cloud is never consumed — do NOT pack
                 # or transfer it (on a tunneled chip the H2D transfer of a
                 # 64-beam sweep costs more than the whole estimator step)
-                lp = self._predict(self.est_state, self._merge_pending())
+                merged = self._merge_pending()
+                if self.host_predict and self._snap is not None:
+                    lp = self._host_predict_pose(self._snap, merged)
+                else:
+                    lp = self._predict(self.est_state, merged)
                 return {"stage": self.stage, "laser_pose": lp,
                         "predicted": True}
             merged = self._merge_pending()
@@ -345,6 +419,8 @@ class LioPipeline:
                     else (MH.replicate(merged, self.mesh), None)
             self.est_state, out = self._front_lio(
                 self.est_state, xyzw, start_ori, merged)
+            if self.host_predict:
+                self._update_snap(out)
             out["stage"] = self.stage
             return out
         xyzw = (pf.xyzw if pf is not None
@@ -423,6 +499,7 @@ class LioPipeline:
         self.stage = "INITED" if int(inited) else "NOT_INITED"
         self.frame_count = int(count)
         self._compact_count = int(compact)
+        self._snap = None  # resumed state: fall back to device predict
         pending = np.asarray(loaded["pending"], np.float32)
         self._pending = [pending] if (pending[1:, 0] > 0).any() else []
 

@@ -231,6 +231,46 @@ class TestPrefetchAndCadence:
 
 
 @pytest.mark.slow
+class TestHostPredict:
+    def test_host_predict_matches_device(self):
+        """Skipped-cadence poses from the host-side numpy integrator
+        (pipeline._host_predict_pose) must match the device predict
+        program pose-for-pose — it exists purely to keep the device queue
+        on ONE executable (no predict<->estimator switches)."""
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg, estimator=dataclasses.replace(cfg.estimator, odom_io=2))
+        traj = synthetic.Trajectory(g_norm=cfg.estimator.imu.g_norm)
+        p_dev = LioPipeline(cfg, dtype=jnp.float32, host_predict=False)
+        p_host = LioPipeline(cfg, dtype=jnp.float32, host_predict=True)
+        dt = cfg.sensor.scan_period
+
+        n_host_pred = 0
+        for i in range(20):
+            t0 = i * dt
+            xyz, mask = synthetic.simulate_sweep(traj, t0, n_azimuth=540)
+            ts, acc, gyr = synthetic.simulate_imu_interval(traj, t0, t0 + dt, 200.0)
+            a0, w0 = traj.imu(t0)
+            dts = np.diff(np.concatenate([[t0], ts]))
+            o1 = p_dev.process(xyz, mask,
+                               p_dev.make_samples(dts, acc, gyr, a0, w0))
+            snap_live = p_host._snap is not None
+            o2 = p_host.process(xyz, mask,
+                                p_host.make_samples(dts, acc, gyr, a0, w0))
+            if o2.get("predicted") and snap_live:
+                n_host_pred += 1
+                assert isinstance(o2["laser_pose"].t, np.ndarray)
+            np.testing.assert_allclose(
+                np.asarray(o1["laser_pose"].t),
+                np.asarray(o2["laser_pose"].t), atol=5e-4, err_msg=f"sweep {i}")
+            np.testing.assert_allclose(
+                np.asarray(o1["laser_pose"].q),
+                np.asarray(o2["laser_pose"].q), atol=5e-4, err_msg=f"sweep {i}")
+        assert p_dev.stage == p_host.stage == "INITED"
+        assert n_host_pred >= 3  # the host path actually ran
+
+
+@pytest.mark.slow
 class TestExtrinsicCalibration:
     def test_from_scratch_extrinsic_closed_loop(self):
         """BASELINE config 2's calibration path: estimate_extrinsic=2
