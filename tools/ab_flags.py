@@ -59,16 +59,23 @@ def run_variant(name: str, sweeps: int) -> dict:
     dt = cfg.sensor.scan_period
     imu_rate = 200.0
 
-    est, gt, stamps = [], [], []
-    t_steady = None
-    n_steady = 0
+    # pre-generate the sequence: the ray-casting simulator must not sit
+    # inside the timed loop (it dominates wall time and hides the flags'
+    # relative cost)
+    frames = []
     for i in range(sweeps):
         t0 = i * dt
         xyz, mask = synthetic.simulate_sweep(traj, t0, n_azimuth=900)
         ts, acc, gyr = synthetic.simulate_imu_interval(traj, t0, t0 + dt, imu_rate)
         a0, w0 = traj.imu(t0)
         dts = np.diff(np.concatenate([[t0], ts]))
-        out = pipe.process(xyz, mask, pipe.make_samples(dts, acc, gyr, a0, w0))
+        frames.append((t0, xyz, mask, (dts, acc, gyr, a0, w0)))
+
+    est, gt, stamps = [], [], []
+    t_steady = None
+    n_steady = 0
+    for t0, xyz, mask, imu in frames:
+        out = pipe.process(xyz, mask, pipe.make_samples(*imu))
         pose = out.get("laser_pose")
         if pose is None:
             continue
