@@ -8,6 +8,19 @@ real-time envelope: 10 Hz LiDAR input with a <=0.1 s/sweep solver budget
 10 Hz real-time gate is the baseline: value/10 > 1 means faster than the
 reference needs to be to keep up).
 
+Methodology (r4): TWO-PHASE CLEAN STREAM. On the tunneled TPU a single
+device->host readback permanently switches the process's dispatch path
+into a synchronous mode (~45x slower dispatch, ~200x slower H2D —
+measured; see README "device-queue discipline"). Initialization needs
+host math on device results, so it inevitably readbacks. The bench
+therefore mirrors the intended production deployment: phase A runs
+init + warmup in a throwaway process and checkpoints the INITED state
+(H2D-only npz); phase B is a FRESH process that resumes from the
+checkpoint and streams the timed sweeps with strictly zero readbacks
+(guarded: the JSON records the post-loop dispatch floor — ~0.03 ms clean
+vs ~1.4 ms poisoned). ``--single-process`` reproduces the legacy r1-r3
+methodology (init and timing in one process) for cross-round comparison.
+
 The primary metric is the indoor profile; the outdoor_64 profile (the
 KNN/BA stress config, BASELINE config 4) is benched in the same run and
 reported as ``outdoor64_*`` fields so the driver guards both.
@@ -19,13 +32,16 @@ the per-raw-sweep rate (the real-time envelope metric) and the
 estimator-step rate are reported.
 
 Usage: python bench.py [--sweeps N] [--warmup K] [--cpu]
-       [--profile indoor|outdoor_64|both]
+       [--profile indoor|outdoor_64|both] [--single-process]
 """
 
 import argparse
 import dataclasses
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -67,26 +83,17 @@ def build_cfg(profile: str = "indoor"):
     return dataclasses.replace(base, estimator=est)
 
 
-def bench_profile(profile: str, sweeps: int, warmup: int,
-                  reps: int = 3) -> dict:
-    import jax
-    import jax.numpy as jnp
-
+def gen_frames(cfg, n: int, start: int = 0):
+    """Deterministic synthetic sequence (host-side): frame index -> data.
+    The trajectory is analytic, so phase A and phase B regenerate
+    identical frames from the index alone."""
     from lio_mapping_tpu.io import synthetic
-    from lio_mapping_tpu.models.pipeline import LioPipeline
 
-    cfg = build_cfg(profile)
     traj = synthetic.Trajectory(g_norm=cfg.estimator.imu.g_norm)
-    pipe = LioPipeline(cfg, dtype=jnp.float32)
     dt = cfg.sensor.scan_period
     imu_rate = 200.0
-
-    # ---- pre-generate the synthetic sequence on host ----
-    # slack beyond window fill: init can retry (gyro-bias gate slides the
-    # window) several times before accepting
-    n_total = sweeps * reps + 3 * (cfg.estimator.window_size + 4)
     frames = []
-    for i in range(n_total):
+    for i in range(start, start + n):
         t0 = i * dt
         xyz, mask = synthetic.simulate_sweep(
             traj, t0, n_azimuth=900,
@@ -97,13 +104,46 @@ def bench_profile(profile: str, sweeps: int, warmup: int,
         a0, w0 = traj.imu(t0)
         dts = np.diff(np.concatenate([[t0], ts]))
         frames.append((xyz, mask, (dts, acc, gyr, a0, w0)))
+    return frames
 
-    # ---- init phase + warmup (warmup counts full estimator steps) ----
+
+def dispatch_floor_ms() -> float:
+    """Round-trip-free dispatch rate of a trivial program: ~0.03 ms when
+    the tunnel is in its streaming mode, ~1.4 ms after any D2H readback
+    has switched it to synchronous dispatch. Recorded as the bench's
+    zero-readback tripwire."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.asarray(np.ones((64, 15, 15), np.float32))
+    probe = jax.jit(lambda x: jnp.einsum("kij,kjl,kml->im", x, x, x))
+    for _ in range(3):
+        jax.block_until_ready(probe(a))
+    t0 = time.perf_counter()
+    for _ in range(30):
+        out = probe(a)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / 30 * 1e3
+
+
+def run_init(profile: str, ckpt_path: str, warmup: int) -> dict:
+    """Phase A: drive the pipeline through initialization (+ ``warmup``
+    full estimator steps) and checkpoint the INITED state. Readbacks here
+    are harmless — this process is thrown away."""
+    import jax
+    import jax.numpy as jnp
+
+    from lio_mapping_tpu.models.pipeline import LioPipeline
+
+    cfg = build_cfg(profile)
+    pipe = LioPipeline(cfg, dtype=jnp.float32)
+    # slack: init can retry (gyro-bias gate slides the window) several times
+    n_total = 3 * (cfg.estimator.window_size + 4) + 2 * (warmup + 1)
+    frames = gen_frames(cfg, n_total)
     inited_count = 0
     out = None
-    it = iter(frames)
     consumed = 0
-    for xyz, mask, imu in it:
+    for xyz, mask, imu in frames:
         consumed += 1
         out = pipe.process(xyz, mask, pipe.make_samples(*imu))
         if out["stage"] == "INITED" and not out.get("predicted"):
@@ -113,23 +153,35 @@ def bench_profile(profile: str, sweeps: int, warmup: int,
     if inited_count == 0:
         return {"error": f"initialization failed ({profile})", "fps": 0.0}
     jax.block_until_ready(out["laser_pose"].t)
+    pipe.save(ckpt_path)
+    return {"consumed": consumed}
 
-    # ---- timed steady state: pipelined (block once at the end) ----
-    # per-sweep host->device dispatch stays in the loop (that IS part of a
-    # real streaming deployment); device work for successive sweeps chains
-    # asynchronously instead of paying a sync round-trip per sweep.
-    # ``reps`` consecutive timed chunks of the (continuing) trajectory; the
-    # reported figure is the best chunk — the tunneled device queue has
-    # multi-ms latency jitter unrelated to the program under test.
-    # one-sweep cloud lookahead inside each chunk: the NEXT consumed
-    # sweep's H2D transfer is issued while the current step is still in
-    # flight (prefetch_cloud), hiding the tunnel round trip. Real
-    # deployments have >=1 sweep of lookahead for free — sweeps arrive
-    # every 100 ms.
+
+def run_stream(profile: str, ckpt_path: str, consumed: int,
+               sweeps: int, reps: int) -> dict:
+    """Phase B: fresh process, H2D-only resume, zero-readback timed loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from lio_mapping_tpu.models.pipeline import LioPipeline
+
+    cfg = build_cfg(profile)
+    pipe = LioPipeline(cfg, dtype=jnp.float32)
+    pipe.load(ckpt_path)
+
+    n_compile = 4  # enough sweeps to hit both the full-step and predict paths
+    frames = gen_frames(cfg, n_compile + sweeps * reps, start=consumed)
+
+    # compile warmup (front_lio + predict executables)
+    out = None
+    for xyz, mask, imu in frames[:n_compile]:
+        out = pipe.process(xyz, mask, pipe.make_samples(*imu))
+    jax.block_until_ready(out["laser_pose"].t)
+
     best = None
     chunk_fps = []
     for r in range(reps):
-        todo = frames[consumed + r * sweeps:consumed + (r + 1) * sweeps]
+        todo = frames[n_compile + r * sweeps:n_compile + (r + 1) * sweeps]
         if not todo:
             break
         n_steps = 0
@@ -152,6 +204,80 @@ def bench_profile(profile: str, sweeps: int, warmup: int,
         elapsed = time.perf_counter() - start
         res = {
             "fps": round(len(todo) / elapsed, 2),
+            "per_sweep_ms": round(elapsed / len(todo) * 1e3, 3),
+            "estimator_steps_per_sec": round(n_steps / elapsed, 2),
+            "io_ratio": max(1, cfg.estimator.odom_io),
+            "n_timed": len(todo),
+            "reps": reps,
+        }
+        chunk_fps.append(res["fps"])
+        if best is None or res["fps"] > best["fps"]:
+            best = res
+    if best is None:
+        return {"error": f"no timed frames ({profile})", "fps": 0.0}
+    best["chunk_fps"] = chunk_fps
+    best["median_fps"] = round(float(np.median(chunk_fps)), 2)
+    # zero-readback tripwire: poisoned (~1.4) means some step in the loop
+    # read a device array back and the numbers above are the slow mode's
+    best["dispatch_floor_ms"] = round(dispatch_floor_ms(), 3)
+    best["clean_stream"] = best["dispatch_floor_ms"] < 0.5
+    return best
+
+
+def bench_profile_single_process(profile: str, sweeps: int, warmup: int,
+                                 reps: int = 3) -> dict:
+    """Legacy r1-r3 methodology: init + timing in ONE process. The init
+    readbacks leave the process in the tunnel's synchronous dispatch mode,
+    so this measures the degraded-mode throughput (kept for cross-round
+    comparability)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lio_mapping_tpu.models.pipeline import LioPipeline
+
+    cfg = build_cfg(profile)
+    pipe = LioPipeline(cfg, dtype=jnp.float32)
+    n_total = sweeps * reps + 3 * (cfg.estimator.window_size + 4)
+    frames = gen_frames(cfg, n_total)
+
+    inited_count = 0
+    out = None
+    consumed = 0
+    for xyz, mask, imu in frames:
+        consumed += 1
+        out = pipe.process(xyz, mask, pipe.make_samples(*imu))
+        if out["stage"] == "INITED" and not out.get("predicted"):
+            inited_count += 1
+            if inited_count > warmup:
+                break
+    if inited_count == 0:
+        return {"error": f"initialization failed ({profile})", "fps": 0.0}
+    jax.block_until_ready(out["laser_pose"].t)
+
+    best = None
+    chunk_fps = []
+    for r in range(reps):
+        todo = frames[consumed + r * sweeps:consumed + (r + 1) * sweeps]
+        if not todo:
+            break
+        n_steps = 0
+        start = time.perf_counter()
+        nxt = (pipe.prefetch_cloud(todo[0][0], todo[0][1])
+               if pipe.will_consume(1) else None)
+        for i, (xyz, mask, imu) in enumerate(todo):
+            samples = pipe.make_samples(*imu)
+            out = pipe.process(nxt if nxt is not None else xyz,
+                               None if nxt is not None else mask, samples)
+            if i + 1 < len(todo) and pipe.will_consume(1):
+                nxt = pipe.prefetch_cloud(todo[i + 1][0], todo[i + 1][1])
+            else:
+                nxt = None
+            if not out.get("predicted"):
+                n_steps += 1
+        jax.block_until_ready(out["laser_pose"].t)
+        elapsed = time.perf_counter() - start
+        res = {
+            "fps": round(len(todo) / elapsed, 2),
             "per_sweep_ms": round(elapsed / len(todo) * 1e3, 2),
             "estimator_steps_per_sec": round(n_steps / elapsed, 2),
             "io_ratio": max(1, cfg.estimator.odom_io),
@@ -162,72 +288,127 @@ def bench_profile(profile: str, sweeps: int, warmup: int,
         if best is None or res["fps"] > best["fps"]:
             best = res
     if best is None:
-        # init retries (gyro-bias gate sliding the window) can exhaust the
-        # pre-generated frame headroom, leaving no timed chunk
         return {"error": f"not enough frames after init/warmup ({profile})",
                 "fps": 0.0}
-    # per-chunk fps + median alongside best: the best-of-N methodology
-    # discards tunnel-queue jitter, but the spread must stay auditable
     best["chunk_fps"] = chunk_fps
     best["median_fps"] = round(float(np.median(chunk_fps)), 2)
     return best
+
+
+def orchestrate_profile(profile: str, args) -> dict:
+    """Run phase A then phase B, each in its own subprocess."""
+    me = os.path.abspath(__file__)
+    extra = ["--cpu"] if args.cpu else []
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = os.path.join(td, "bench_init.npz")
+        pa = subprocess.run(
+            [sys.executable, me, "--phase", "init", "--profile", profile,
+             "--ckpt", ckpt, "--warmup", str(args.warmup)] + extra,
+            capture_output=True, text=True)
+        line = pa.stdout.strip().splitlines()[-1] if pa.stdout.strip() else "{}"
+        try:
+            a = json.loads(line)
+        except json.JSONDecodeError:
+            a = {"error": f"init subprocess failed: {(pa.stderr or line)[-300:]}"}
+        if "error" in a:
+            return a
+        pb = subprocess.run(
+            [sys.executable, me, "--phase", "stream", "--profile", profile,
+             "--ckpt", ckpt, "--consumed", str(a["consumed"]),
+             "--sweeps", str(args.sweeps), "--reps", str(args.reps)] + extra,
+            capture_output=True, text=True)
+        line = pb.stdout.strip().splitlines()[-1] if pb.stdout.strip() else "{}"
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            return {"error": f"stream subprocess failed: {(pb.stderr or line)[-300:]}"}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweeps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--profile", default="both",
                     choices=["indoor", "outdoor_64", "both"])
+    ap.add_argument("--single-process", action="store_true",
+                    help="legacy r1-r3 methodology (degraded-mode timing)")
+    # internal worker modes
+    ap.add_argument("--phase", choices=["init", "stream"], default=None)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--consumed", type=int, default=0)
     args = ap.parse_args()
 
     if args.cpu:
-        import os
-
         os.environ["JAX_PLATFORMS"] = "cpu"
 
-    if args.profile == "both":
-        # one subprocess per profile: two profiles in one process interfere
-        # (resident executables/HBM state cost the second profile ~40%
-        # measured on a v5e — 91 -> 50 f/s outdoor_64 when run after
-        # indoor in-process)
-        import os
-        import subprocess
+    if args.phase == "init":
+        print(json.dumps(run_init(args.profile, args.ckpt, args.warmup)))
+        return 0
+    if args.phase == "stream":
+        print(json.dumps(run_stream(args.profile, args.ckpt, args.consumed,
+                                    args.sweeps, args.reps)))
+        return 0
 
-        out = {}
-        for name in ("indoor", "outdoor_64"):
-            cmd = [sys.executable, os.path.abspath(__file__),
-                   "--profile", name, "--sweeps", str(args.sweeps),
-                   "--warmup", str(args.warmup)] + (["--cpu"] if args.cpu else [])
-            proc = subprocess.run(cmd, capture_output=True, text=True)
-            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-            try:
-                out[name] = json.loads(line)
-            except json.JSONDecodeError:
-                out[name] = {"error": f"bench subprocess failed: {line[:200]}"}
-        result = dict(out["indoor"])
-        o = out["outdoor_64"]
-        if "error" in o:
-            result["outdoor64_error"] = o["error"]
+    profiles = (["indoor", "outdoor_64"] if args.profile == "both"
+                else [args.profile])
+    out = {}
+    for name in profiles:
+        if args.single_process:
+            # one subprocess per profile: two profiles in one process
+            # interfere (resident executables/HBM state cost the second
+            # profile ~40% measured on a v5e)
+            me = os.path.abspath(__file__)
+            if len(profiles) == 1:
+                out[name] = bench_profile_single_process(
+                    name, args.sweeps, args.warmup, args.reps)
+            else:
+                cmd = [sys.executable, me, "--profile", name,
+                       "--single-process", "--sweeps", str(args.sweeps),
+                       "--warmup", str(args.warmup),
+                       "--reps", str(args.reps)] + (
+                           ["--cpu"] if args.cpu else [])
+                proc = subprocess.run(cmd, capture_output=True, text=True)
+                line = (proc.stdout.strip().splitlines()[-1]
+                        if proc.stdout.strip() else "{}")
+                try:
+                    parsed = json.loads(line)
+                    # unwrap the single-profile JSON envelope
+                    out[name] = {
+                        "fps": parsed.get("value", 0.0),
+                        "per_sweep_ms": parsed.get("per_sweep_ms"),
+                        "estimator_steps_per_sec": parsed.get(
+                            "estimator_steps_per_sec"),
+                        "io_ratio": parsed.get("io_ratio"),
+                        "n_timed": parsed.get("n_timed"),
+                        "median_fps": parsed.get("median_fps"),
+                        "chunk_fps": parsed.get("chunk_fps"),
+                    }
+                    if "error" in parsed:
+                        out[name]["error"] = parsed["error"]
+                except json.JSONDecodeError:
+                    out[name] = {"error": f"subprocess failed: {line[:200]}"}
         else:
-            result["outdoor64_fps"] = o["value"]
-            result["outdoor64_vs_baseline"] = o["vs_baseline"]
-            result["outdoor64_per_sweep_ms"] = o["per_sweep_ms"]
-            result["outdoor64_steps_per_sec"] = o["estimator_steps_per_sec"]
-            result["outdoor64_median_fps"] = o.get("median_fps")
-            result["outdoor64_chunk_fps"] = o.get("chunk_fps")
-        print(json.dumps(result))
-        return 0 if "error" not in result else 1
+            out[name] = orchestrate_profile(name, args)
 
-    import jax
-
-    primary = bench_profile(args.profile, args.sweeps, args.warmup)
+    primary = out[profiles[0]]
     if "error" in primary:
         print(json.dumps({"metric": "lio_frames_per_sec", "value": 0.0,
                           "unit": "frames/s", "vs_baseline": 0.0,
                           "error": primary["error"]}))
         return 1
+
+    device = "unknown"
+    if not args.cpu:
+        # read the device name without initializing a TPU client in THIS
+        # process when possible (cheap: orchestrator never touches jax)
+        try:
+            import jax
+
+            device = str(jax.devices()[0])
+        except Exception:
+            pass
 
     result = {
         "metric": "lio_frames_per_sec",
@@ -240,8 +421,25 @@ def main():
         "n_timed": primary["n_timed"],
         "median_fps": primary.get("median_fps"),
         "chunk_fps": primary.get("chunk_fps"),
-        "device": str(jax.devices()[0]),
+        "methodology": ("single_process_legacy" if args.single_process
+                        else "two_phase_clean_stream"),
+        "dispatch_floor_ms": primary.get("dispatch_floor_ms"),
+        "clean_stream": primary.get("clean_stream"),
+        "device": device,
     }
+    if len(profiles) > 1:
+        o = out["outdoor_64"]
+        if "error" in o:
+            result["outdoor64_error"] = o["error"]
+        else:
+            result["outdoor64_fps"] = o["fps"]
+            result["outdoor64_vs_baseline"] = round(o["fps"] / 10.0, 3)
+            result["outdoor64_per_sweep_ms"] = o["per_sweep_ms"]
+            result["outdoor64_steps_per_sec"] = o["estimator_steps_per_sec"]
+            result["outdoor64_median_fps"] = o.get("median_fps")
+            result["outdoor64_chunk_fps"] = o.get("chunk_fps")
+            result["outdoor64_dispatch_floor_ms"] = o.get("dispatch_floor_ms")
+            result["outdoor64_clean_stream"] = o.get("clean_stream")
     print(json.dumps(result))
     return 0
 

@@ -18,6 +18,7 @@ voxel-map archive (the save_bag_to_pcd equivalent).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -86,7 +87,68 @@ def cmd_simulate(args):
     return 0
 
 
+def _run_two_phase(args):
+    """Clean-stream deployment (README 'device-queue discipline'): phase A
+    initializes in a throwaway subprocess (its readbacks poison only that
+    process) and checkpoints; phase B resumes H2D-only in a fresh process
+    and replays the remaining log with zero readbacks, so the tunnel stays
+    in its streaming dispatch mode for the whole mapping run."""
+    import json as _json
+    import shutil
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = os.path.join(td, "init_ckpt.npz")
+        sidecar = os.path.join(td, "init_meta.json")
+        prefix = os.path.join(td, "prefix.tum")
+        base = [sys.executable, "-m", "lio_mapping_tpu.cli", "run",
+                "--log", args.log, "--profile", args.profile,
+                "--mode", args.mode]
+        if args.config:
+            base += ["--config", args.config]
+        if args.self_filter:
+            base.append("--self-filter")
+        rc = subprocess.call(base + [
+            "--out", prefix, "--checkpoint-out", ckpt,
+            "--stop-at-init", sidecar])
+        if rc != 0:
+            return rc
+        with open(sidecar) as f:
+            meta = _json.load(f)
+        if not meta.get("inited"):
+            print("two-phase: initialization never succeeded — the "
+                  "phase-A trajectory is the full output")
+            shutil.copy(prefix, args.out)
+            return 1
+        pb = base + ["--out", args.out, "--resume", ckpt,
+                     "--skip-pairs", str(meta["pairs"]),
+                     "--bound-in", sidecar, "--traj-prefix", prefix]
+        for flag, val in (("--map-out", args.map_out),
+                          ("--out-4d", args.out_4d),
+                          ("--trace-dir", args.trace_dir),
+                          ("--checkpoint-out", args.checkpoint_out)):
+            if val:
+                pb += [flag, val]
+        if args.enable_4d:
+            pb.append("--enable-4d")
+        if args.timing:
+            pb.append("--timing")
+        if args.checkpoint_every:
+            pb += ["--checkpoint-every", str(args.checkpoint_every)]
+        if args.mesh:
+            pb += ["--mesh", str(args.mesh)]
+        if args.map_shard:
+            pb.append("--map-shard")
+        if args.ingest_shard:
+            pb.append("--ingest-shard")
+        return subprocess.call(pb)
+
+
 def cmd_run(args):
+    if getattr(args, "two_phase", False):
+        return _run_two_phase(args)
+
     import jax
     import jax.numpy as jnp
 
@@ -213,8 +275,26 @@ def cmd_run(args):
     next_id = 0
     delay = cfg.estimator.msg_time_delay
     prev_bound = None  # (t_b, acc_b, gyr_b): interpolated interval boundary
+    skip_pairs = getattr(args, "skip_pairs", 0) or 0
+    if getattr(args, "bound_in", None):
+        # phase-B resume: the skipped pairs' IMU already lives inside the
+        # checkpoint; restore the interval-boundary state the phase-A
+        # process left off at so preintegration intervals stay exact
+        import json as _json
+
+        with open(args.bound_in) as f:
+            _meta = _json.load(f)
+        if _meta.get("prev_bound") is not None:
+            _b = _meta["prev_bound"]
+            prev_bound = (float(_b[0]), np.asarray(_b[1], np.float64),
+                          np.asarray(_b[2], np.float64))
+    stop_at_init = getattr(args, "stop_at_init", None)
+    pair_idx = 0
+    stopped_early = False
     with device_trace(args.trace_dir):
         for item in native.SequenceLog(args.log):
+            if stopped_early:
+                break
             if item[0] == "imu":
                 mq.push_imu(item[1], item[2], item[3])
             else:
@@ -227,6 +307,9 @@ def cmd_run(args):
                     break
                 t, sid, imu_t, acc, gyr = pair
                 xyz, rel = sweeps.pop(sid)
+                if pair_idx < skip_pairs:
+                    pair_idx += 1
+                    continue
                 samples = None
                 if args.mode == "lio" and len(imu_t) >= 2:
                     # split the boundary IMU sample at exactly t + delay by
@@ -258,7 +341,44 @@ def cmd_run(args):
                             dts, acc[1:], gyr[1:], acc[0], gyr[0])
                     prev_bound = (t_b, acc_b, gyr_b)
                 step(t, xyz, np.ones(len(xyz), bool), samples)
+                pair_idx += 1
+                if stop_at_init and args.mode == "lio" \
+                        and pipe.stage == "INITED":
+                    stopped_early = True
+                    break
     flush()
+
+    if stop_at_init:
+        # phase A of --two-phase: checkpoint + sidecar, partial trajectory
+        import json as _json
+
+        if args.checkpoint_out:
+            pipe.save(args.checkpoint_out)
+        meta = {
+            "inited": pipe.stage == "INITED" if args.mode == "lio" else True,
+            "pairs": pair_idx,
+            "prev_bound": None if prev_bound is None else [
+                float(prev_bound[0]),
+                np.asarray(prev_bound[1], np.float64).tolist(),
+                np.asarray(prev_bound[2], np.float64).tolist()],
+        }
+        with open(stop_at_init, "w") as f:
+            _json.dump(meta, f)
+        if times:
+            save_tum(args.out, times, np.stack(qs), np.stack(ts))
+        else:
+            open(args.out, "w").close()
+        print(f"stopped after init: {pair_idx} pairs, "
+              f"checkpoint {args.checkpoint_out}, sidecar {stop_at_init}")
+        return 0
+
+    if getattr(args, "traj_prefix", None):
+        from .io.evaluation import load_tum
+
+        t_pre, q_pre, p_pre = load_tum(args.traj_prefix)
+        times = list(t_pre) + times
+        qs = list(q_pre) + qs
+        ts = list(p_pre) + ts
 
     save_tum(args.out, times, np.stack(qs), np.stack(ts))
     stage = pipe.stage if args.mode == "lio" else "LOAM"
@@ -531,6 +651,27 @@ def main(argv=None):
                    help="with --mesh: each process/device transfers only "
                         "its row slice of the packed cloud (on-device "
                         "all_gather reassembles it)")
+    p.add_argument("--two-phase", action="store_true",
+                   help="clean-stream deployment: initialize in a "
+                        "throwaway subprocess, then replay the rest in a "
+                        "fresh process that resumes H2D-only and streams "
+                        "with zero device readbacks (on the tunneled TPU "
+                        "a single readback permanently degrades dispatch "
+                        "~45x — see README 'device-queue discipline')")
+    # internal worker flags for --two-phase (also usable directly to
+    # resume a checkpointed replay mid-log)
+    p.add_argument("--stop-at-init", default=None, metavar="SIDECAR",
+                   help="stop right after initialization succeeds; write "
+                        "pair-count + IMU-boundary state to this JSON "
+                        "(requires --checkpoint-out)")
+    p.add_argument("--skip-pairs", type=int, default=0,
+                   help="with --resume: skip the first N measurement "
+                        "pairs of the log (already inside the checkpoint)")
+    p.add_argument("--bound-in", default=None,
+                   help="with --resume: restore the IMU interval-boundary "
+                        "state from a --stop-at-init sidecar")
+    p.add_argument("--traj-prefix", default=None,
+                   help="prepend this TUM file's poses to --out")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("bag-info")

@@ -41,6 +41,10 @@ def load_state(path: str, **templates):
         new_leaves = []
         for i, leaf in enumerate(leaves):
             arr = data[f"{name}.{i}"]
-            new_leaves.append(jax.numpy.asarray(arr, dtype=np.asarray(leaf).dtype))
+            # leaf.dtype, NOT np.asarray(leaf).dtype: the template leaves
+            # are device arrays, and np.asarray would read each one back —
+            # a single D2H permanently degrades the tunnel's dispatch path,
+            # so resume must stay strictly H2D-only.
+            new_leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
         result[name] = jax.tree.unflatten(treedef, new_leaves)
     return result

@@ -488,19 +488,22 @@ class LioPipeline:
         """Resume from a checkpoint written by :meth:`save`."""
         from ..io import checkpoint as CKPT
 
-        m = self.cfg.estimator.imu.max_imu_per_frame
         loaded = CKPT.load_state(
-            path, est=self.est_state, odom=self.odom_state,
-            meta=jnp.zeros(3, jnp.int32),
-            pending=jnp.zeros((m + 1, 7), self.dtype))
+            path, est=self.est_state, odom=self.odom_state)
         self.est_state = loaded["est"]
         self.odom_state = loaded["odom"]
-        inited, count, compact = np.asarray(loaded["meta"])
+        # meta/pending are consumed host-side: read them straight from the
+        # npz rather than uploading and reading back. On the tunneled TPU a
+        # single D2H readback permanently degrades the process's dispatch
+        # path (see README "device-queue discipline") — resume must stay
+        # H2D-only so a resumed process streams at full rate.
+        raw = np.load(path, allow_pickle=False)
+        inited, count, compact = raw["meta.0"]
         self.stage = "INITED" if int(inited) else "NOT_INITED"
         self.frame_count = int(count)
         self._compact_count = int(compact)
         self._snap = None  # resumed state: fall back to device predict
-        pending = np.asarray(loaded["pending"], np.float32)
+        pending = np.asarray(raw["pending.0"], np.float32)
         self._pending = [pending] if (pending[1:, 0] > 0).any() else []
 
     # ------------------------------------------------------------------

@@ -122,3 +122,35 @@ def test_full_cli_loop_mesh2(sequence, capsys):
     ate = _ate(capsys, traj, sequence["gt"])
     # psum ordering differs from single-device; same gate with headroom
     assert ate < 0.45, f"mesh-2 CLI loop ATE {ate} m"
+
+
+@pytest.mark.slow
+def test_two_phase_clean_stream_matches_single(sequence, capsys):
+    """``run --two-phase`` (init in a throwaway subprocess, H2D-only
+    resume + zero-readback stream in a fresh one — the clean-stream
+    deployment, README 'device-queue discipline') must reproduce the
+    single-process trajectory pose-for-pose: the checkpoint round trip is
+    exact, the IMU boundary state is carried via the sidecar, and pair
+    skipping replays the identical measurement pairing."""
+    from lio_mapping_tpu.io.evaluation import load_tum
+
+    d = sequence["dir"]
+    traj_sp = str(d / "traj_sp.tum")
+    traj_tp = str(d / "traj_tp.tum")
+
+    assert cli.main(["run", "--log", sequence["log"], "--config",
+                     sequence["cfg"], "--out", traj_sp,
+                     "--mode", "lio"]) == 0
+    assert cli.main(["run", "--log", sequence["log"], "--config",
+                     sequence["cfg"], "--out", traj_tp, "--mode", "lio",
+                     "--two-phase"]) == 0
+
+    t_sp, q_sp, p_sp = load_tum(traj_sp)
+    t_tp, q_tp, p_tp = load_tum(traj_tp)
+    assert len(t_tp) == len(t_sp), (len(t_tp), len(t_sp))
+    np.testing.assert_allclose(t_tp, t_sp, atol=1e-6)
+    np.testing.assert_allclose(p_tp, p_sp, atol=1e-4,
+                               err_msg="two-phase trajectory diverged")
+    # quaternion sign is gauge; compare |dot|
+    dots = np.abs(np.sum(q_tp * q_sp, axis=-1))
+    assert dots.min() > 1.0 - 1e-6, f"min |q dot| {dots.min()}"
