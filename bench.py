@@ -47,38 +47,46 @@ import time
 import numpy as np
 
 
+# Config deltas vs the SHIPPED profiles, recorded verbatim in the bench
+# JSON (VERDICT r4 next #2: the headline must measure the config the user
+# actually gets). Only synthetic-rig concessions remain:
+#  * the simulated rig's laser-IMU extrinsic IS identity, so the bench
+#    supplies it as the initial guess (estimate_extrinsic 2 -> 1 indoor:
+#    skips the hand-eye calibration, which needs minutes of rotation
+#    excitation; the 6 extrinsic dims STAY in the window solve via
+#    opt_extrinsic=True, so the solved problem matches shipped);
+#  * init_window_factor=1 so phase A initializes within the warmup budget.
+# ALL capacity caps, window sizes and solver budgets are the shipped
+# profile values (indoor: 6144/24576/4096 caps, 10 LM iterations).
+CONFIG_DELTAS = {
+    "indoor": {"estimate_extrinsic": "2->1 (identity guess; rig truth)",
+               "extrinsic_translation": "-> (0,0,0)",
+               "init_window_factor": "2->1"},
+    "outdoor_64": {"extrinsic_rotation": "-> identity (rig truth)",
+                   "extrinsic_translation": "-> (0,0,0)"},
+}
+
+
 def build_cfg(profile: str = "indoor"):
     from lio_mapping_tpu.config import LioConfig
 
     if profile == "outdoor_64":
         # BASELINE config 4: 64-beam, large windows/caps stressing the
-        # KNN + BA kernels. Extrinsic fixed so the bench initializes
-        # immediately (the synthetic rig has an identity extrinsic).
+        # KNN + BA kernels; shipped caps + solver budget.
         base = LioConfig.outdoor_64()
         est = dataclasses.replace(
             base.estimator,
-            init_window_factor=1,
-            estimate_extrinsic=0,
-            opt_extrinsic=False,
             extrinsic_rotation=(1, 0, 0, 0, 1, 0, 0, 0, 1),
             extrinsic_translation=(0.0, 0.0, 0.0),
-            max_solver_iterations=8,
         )
         return dataclasses.replace(base, estimator=est)
 
     base = LioConfig.indoor()
     est = dataclasses.replace(
         base.estimator,
-        window_size=12,
-        opt_window_size=7,
         init_window_factor=1,
-        estimate_extrinsic=0,
-        opt_extrinsic=False,
+        estimate_extrinsic=1,
         extrinsic_translation=(0.0, 0.0, 0.0),
-        surf_stack_cap=4096,
-        local_map_filtered_cap=16384,
-        features_per_frame_cap=4096,
-        max_solver_iterations=8,
     )
     return dataclasses.replace(base, estimator=est)
 
@@ -295,6 +303,28 @@ def bench_profile_single_process(profile: str, sweeps: int, warmup: int,
     return best
 
 
+def single_process_sub(profile: str, args) -> dict:
+    """Run the legacy single-process methodology in a subprocess and
+    return its per-profile dict (keeps the r1-r3 series comparable in
+    every BENCH_r*.json without letting its readbacks poison the
+    orchestrator-spawned clean-stream phases)."""
+    me = os.path.abspath(__file__)
+    cmd = [sys.executable, me, "--profile", profile, "--single-process",
+           "--sweeps", str(args.sweeps), "--warmup", str(args.warmup),
+           "--reps", str(args.reps)] + (["--cpu"] if args.cpu else [])
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+    try:
+        parsed = json.loads(line)
+    except json.JSONDecodeError:
+        return {"error": f"single-process subprocess failed: {line[:200]}"}
+    out = {"fps": parsed.get("value", 0.0),
+           "median_fps": parsed.get("median_fps")}
+    if "error" in parsed:
+        out["error"] = parsed["error"]
+    return out
+
+
 def orchestrate_profile(profile: str, args) -> dict:
     """Run phase A then phase B, each in its own subprocess."""
     me = os.path.abspath(__file__)
@@ -334,6 +364,8 @@ def main():
                     choices=["indoor", "outdoor_64", "both"])
     ap.add_argument("--single-process", action="store_true",
                     help="legacy r1-r3 methodology (degraded-mode timing)")
+    ap.add_argument("--skip-legacy", action="store_true",
+                    help="omit the companion single_process_fps run")
     # internal worker modes
     ap.add_argument("--phase", choices=["init", "stream"], default=None)
     ap.add_argument("--ckpt", default=None)
@@ -342,6 +374,12 @@ def main():
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
+        # env alone is not enough: sitecustomize-registered accelerator
+        # plugins (the tunneled-TPU axon register()) may have already
+        # imported jax and forced jax_platforms — re-assert the choice
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.phase == "init":
         print(json.dumps(run_init(args.profile, args.ckpt, args.warmup)))
@@ -426,7 +464,18 @@ def main():
         "dispatch_floor_ms": primary.get("dispatch_floor_ms"),
         "clean_stream": primary.get("clean_stream"),
         "device": device,
+        # shipped-profile provenance: caps/budgets are LioConfig.<profile>()
+        # verbatim; ONLY these fields differ (synthetic-rig concessions)
+        "config_deltas": {p: CONFIG_DELTAS[p] for p in profiles},
     }
+    if not args.single_process and not args.skip_legacy:
+        # cross-round comparable legacy number alongside the clean-stream
+        # headline (VERDICT r4 weak #3)
+        sp = single_process_sub(profiles[0], args)
+        result["single_process_fps"] = sp.get("fps", 0.0)
+        result["single_process_median_fps"] = sp.get("median_fps")
+        if "error" in sp:
+            result["single_process_error"] = sp["error"]
     if len(profiles) > 1:
         o = out["outdoor_64"]
         if "error" in o:

@@ -98,6 +98,14 @@ def _run_two_phase(args):
     import subprocess
     import tempfile
 
+    if args.resume:
+        # A user --resume would be silently ignored (phase A always starts
+        # from scratch and writes its own checkpoint) — refuse instead
+        print("error: --two-phase and --resume are mutually exclusive "
+              "(phase A creates the init checkpoint itself; to resume a "
+              "previous run use plain `run --resume`)", file=sys.stderr)
+        return 2
+
     with tempfile.TemporaryDirectory() as td:
         ckpt = os.path.join(td, "init_ckpt.npz")
         sidecar = os.path.join(td, "init_meta.json")
@@ -109,6 +117,16 @@ def _run_two_phase(args):
             base += ["--config", args.config]
         if args.self_filter:
             base.append("--self-filter")
+        # Mesh topology changes reduction order (psum) and therefore
+        # numerics: both phases must run the SAME topology or phase B
+        # would resume an unsharded phase-A checkpoint onto a sharded
+        # program (advisor r4)
+        if args.mesh:
+            base += ["--mesh", str(args.mesh)]
+        if args.map_shard:
+            base.append("--map-shard")
+        if args.ingest_shard:
+            base.append("--ingest-shard")
         rc = subprocess.call(base + [
             "--out", prefix, "--checkpoint-out", ckpt,
             "--stop-at-init", sidecar])
@@ -127,6 +145,7 @@ def _run_two_phase(args):
         for flag, val in (("--map-out", args.map_out),
                           ("--out-4d", args.out_4d),
                           ("--trace-dir", args.trace_dir),
+                          ("--stats-json", getattr(args, "stats_json", None)),
                           ("--checkpoint-out", args.checkpoint_out)):
             if val:
                 pb += [flag, val]
@@ -136,16 +155,16 @@ def _run_two_phase(args):
             pb.append("--timing")
         if args.checkpoint_every:
             pb += ["--checkpoint-every", str(args.checkpoint_every)]
-        if args.mesh:
-            pb += ["--mesh", str(args.mesh)]
-        if args.map_shard:
-            pb.append("--map-shard")
-        if args.ingest_shard:
-            pb.append("--ingest-shard")
         return subprocess.call(pb)
 
 
 def cmd_run(args):
+    if getattr(args, "stop_at_init", None) and not args.checkpoint_out:
+        # without a checkpoint the sidecar would claim `inited` with
+        # nothing for phase B to resume from (advisor r4)
+        print("error: --stop-at-init requires --checkpoint-out",
+              file=sys.stderr)
+        return 2
     if getattr(args, "two_phase", False):
         return _run_two_phase(args)
 
@@ -207,9 +226,19 @@ def cmd_run(args):
     pend_t4, pend_q4, pend_p4 = [], [], []    # 4D builder output refs
     map_pend = []                             # (idx in pend, masked xyz)
 
+    # end-to-end replay accounting (VERDICT r4 next #4): wall-clock split
+    # of the production entry point — step dispatch vs chunked flush
+    # readbacks vs host ingest (log parse + queue + interpolation = the
+    # remainder). perf_counter bookkeeping only; no device syncs added.
+    import time as _time
+
+    stats = {"t_step": 0.0, "t_flush": 0.0, "t_first_step": 0.0,
+             "n_pairs": 0}
+
     def flush():
         from scipy.spatial.transform import Rotation
 
+        _f0 = _time.perf_counter()
         qs_h = [np.asarray(q, np.float64) for q in pend_q]
         ps_h = [np.asarray(p, np.float64) for p in pend_p]
         times.extend(pend_t)
@@ -228,8 +257,19 @@ def cmd_run(args):
             qs_4d.append(np.asarray(qq))
             ts_4d.append(np.asarray(pp))
         pend_t4.clear(), pend_q4.clear(), pend_p4.clear()
+        stats["t_flush"] += _time.perf_counter() - _f0
 
-    def step(t, xyz, mask, samples):
+    def step(t, xyz, mask, samples, ring=None):
+        nonlocal mb_state
+        _s0 = _time.perf_counter()
+        _step_impl(t, xyz, mask, samples, ring)
+        _dt = _time.perf_counter() - _s0
+        stats["t_step"] += _dt
+        if stats["n_pairs"] == 0:
+            stats["t_first_step"] = _dt  # executable compile lives here
+        stats["n_pairs"] += 1
+
+    def _step_impl(t, xyz, mask, samples, ring):
         nonlocal mb_state
         if self_rot is not None:
             with timer.stage("self_filter"):
@@ -238,9 +278,9 @@ def cmd_run(args):
                     self_box[1], self_rot))
         with timer.stage("pipeline"):
             if args.mode == "loam":
-                out = pipe.process(xyz, mask)
+                out = pipe.process(xyz, mask, ring_ids=ring)
             else:
-                out = pipe.process(xyz, mask, samples)
+                out = pipe.process(xyz, mask, samples, ring_ids=ring)
             if timer.sync:
                 jax.block_until_ready(out["laser_pose"].t)
         pose = out.get("laser_pose")
@@ -291,6 +331,7 @@ def cmd_run(args):
     stop_at_init = getattr(args, "stop_at_init", None)
     pair_idx = 0
     stopped_early = False
+    _loop_t0 = _time.perf_counter()
     with device_trace(args.trace_dir):
         for item in native.SequenceLog(args.log):
             if stopped_early:
@@ -298,7 +339,7 @@ def cmd_run(args):
             if item[0] == "imu":
                 mq.push_imu(item[1], item[2], item[3])
             else:
-                sweeps[next_id] = (item[2], item[3])
+                sweeps[next_id] = (item[2], item[4])  # xyz, ring-or-None
                 mq.push_sweep(item[1], next_id)
                 next_id += 1
             while True:
@@ -306,7 +347,7 @@ def cmd_run(args):
                 if pair is None:
                     break
                 t, sid, imu_t, acc, gyr = pair
-                xyz, rel = sweeps.pop(sid)
+                xyz, ring = sweeps.pop(sid)
                 if pair_idx < skip_pairs:
                     pair_idx += 1
                     continue
@@ -340,13 +381,41 @@ def cmd_run(args):
                         samples = pipe.make_samples(
                             dts, acc[1:], gyr[1:], acc[0], gyr[0])
                     prev_bound = (t_b, acc_b, gyr_b)
-                step(t, xyz, np.ones(len(xyz), bool), samples)
+                step(t, xyz, np.ones(len(xyz), bool), samples, ring=ring)
                 pair_idx += 1
                 if stop_at_init and args.mode == "lio" \
                         and pipe.stage == "INITED":
                     stopped_early = True
                     break
     flush()
+    _loop_wall = _time.perf_counter() - _loop_t0
+
+    if getattr(args, "stats_json", None):
+        # production-entry-point throughput artifact (JSON): wall f/s over
+        # the replay loop, with the split host-ingest / step-dispatch /
+        # flush-readback and the compile cost isolated (first step).
+        import json as _json
+
+        n = stats["n_pairs"]
+        steady_wall = _loop_wall - stats["t_first_step"]
+        payload = {
+            "n_pairs": n,
+            "loop_wall_s": round(_loop_wall, 4),
+            "fps_total": round(n / _loop_wall, 2) if _loop_wall > 0 else 0.0,
+            "fps_steady": round((n - 1) / steady_wall, 2)
+            if n > 1 and steady_wall > 0 else 0.0,
+            "t_first_step_s": round(stats["t_first_step"], 4),
+            "t_step_s": round(stats["t_step"], 4),
+            "t_flush_s": round(stats["t_flush"], 4),
+            "t_ingest_s": round(_loop_wall - stats["t_step"], 4),
+            "mode": args.mode,
+            "resumed": bool(args.resume),
+        }
+        with open(args.stats_json, "w") as f:
+            _json.dump(payload, f)
+        print(f"replay stats -> {args.stats_json}: "
+              f"{payload['fps_steady']} f/s steady "
+              f"({payload['fps_total']} incl. compile)")
 
     if stop_at_init:
         # phase A of --two-phase: checkpoint + sidecar, partial trajectory
@@ -469,9 +538,9 @@ def cmd_export_bag(args):
     with RB.BagWriter(args.out, compression=args.compression) as w:
         for item in native.SequenceLog(args.log):
             if item[0] == "sweep":
-                _, t, xyz, rel = item
+                _, t, xyz, rel, ring = item
                 w.write(args.points_topic, "sensor_msgs/PointCloud2", t,
-                        RB.serialize_pointcloud2(t, xyz, rel))
+                        RB.serialize_pointcloud2(t, xyz, rel, ring=ring))
             else:
                 _, t, acc, gyr = item
                 w.write(args.imu_topic, "sensor_msgs/Imu", t,
@@ -594,7 +663,28 @@ def cmd_evaluate(args):
     return 0
 
 
+def _honor_platform_env():
+    """Re-assert ``JAX_PLATFORMS`` from the environment.
+
+    Accelerator plugins registered via sitecustomize may override the
+    platform selection AFTER jax captured the env var (the tunneled-TPU
+    ``axon.register()`` sets ``jax_platforms="axon,cpu"`` unconditionally),
+    so ``JAX_PLATFORMS=cpu python -m lio_mapping_tpu.cli ...`` would
+    silently run on the accelerator. The CLI is a process entry point, so
+    the env var is the user's explicit platform choice — make it stick.
+    (Found via the two-phase equivalence test: its CLI subprocesses ran
+    on TPU f32 while the in-process reference ran CPU f64.)
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        if str(jax.config.jax_platforms or "") != plat:
+            jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None):
+    _honor_platform_env()
     ap = argparse.ArgumentParser(prog="lio_mapping_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -657,7 +747,11 @@ def main(argv=None):
                         "fresh process that resumes H2D-only and streams "
                         "with zero device readbacks (on the tunneled TPU "
                         "a single readback permanently degrades dispatch "
-                        "~45x — see README 'device-queue discipline')")
+                        "~45x — see README 'device-queue discipline'). "
+                        "Note: --map-out/--out-4d/--enable-4d run in phase "
+                        "B only, so those exports start one sweep after "
+                        "init (the init sweep itself lives in the "
+                        "throwaway phase-A process)")
     # internal worker flags for --two-phase (also usable directly to
     # resume a checkpointed replay mid-log)
     p.add_argument("--stop-at-init", default=None, metavar="SIDECAR",
@@ -672,6 +766,11 @@ def main(argv=None):
                         "state from a --stop-at-init sidecar")
     p.add_argument("--traj-prefix", default=None,
                    help="prepend this TUM file's poses to --out")
+    p.add_argument("--stats-json", default=None,
+                   help="write replay-loop throughput stats (f/s, "
+                        "ingest/dispatch/flush wall split) to this JSON; "
+                        "with --two-phase, reports phase B (the streaming "
+                        "deployment loop)")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("bag-info")

@@ -121,11 +121,17 @@ def associate_by_time(
 
 
 def save_tum(path: str, times: Sequence[float], qs: np.ndarray, ts: np.ndarray):
-    """Write a TUM-format trajectory file (t x y z qx qy qz qw)."""
+    """Write a TUM-format trajectory file (t x y z qx qy qz qw).
+
+    9 decimal digits: enough that a write -> read -> write round trip is
+    value-preserving for f32-derived poses (the two-phase CLI prepends
+    phase A's file via --traj-prefix, so prefix poses quantize TWICE; at
+    6 digits that showed up as ~1e-6 quaternion error against the
+    single-process trajectory)."""
     with open(path, "w") as f:
         for t, q, p in zip(times, qs, ts):
-            f.write(f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
-                    f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
+            f.write(f"{t:.9f} {p[0]:.9f} {p[1]:.9f} {p[2]:.9f} "
+                    f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f}\n")
 
 
 def load_tum(path: str):

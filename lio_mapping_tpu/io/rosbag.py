@@ -362,8 +362,15 @@ def convert_bag(
                     finite &= (xyz * xyz).sum(-1) > min_range * min_range
                 rel = _relative_times(cloud, scan_period)
                 rel = rel[finite] if rel is not None else None
+                # per-point ring annotation (Velodyne/RoboSense driver
+                # `ring` u16 PointField — the reference's PointXYZIR input,
+                # point_types.h:37-44): carried into the .liol v2 log so
+                # the `uneven` sensor mode can consume it
+                ring = cloud.field_array("ring")
+                ring = ring[finite].astype(np.uint16) \
+                    if ring is not None else None
                 stamp = cloud.stamp if cloud.stamp > 0 else msg.time
-                log.write_sweep(stamp, xyz[finite], rel)
+                log.write_sweep(stamp, xyz[finite], rel, ring=ring)
                 n_sweeps += 1
             elif msg.topic == imu_topic:
                 imu = parse_imu(msg.raw)

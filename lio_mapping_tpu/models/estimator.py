@@ -165,7 +165,8 @@ def _fov_ok(point_sel, local_q, local_t):
     return (check1 < 0) & (check2 > 0)
 
 
-def make_knn5(map_xyz, map_mask, cfg: LioConfig, axis=None):
+def make_knn5(map_xyz, map_mask, cfg: LioConfig, axis=None,
+              force_tiled: bool = False):
     """5-NN closure over a local map: (point_sel, sel_mask) ->
     (sq_d (N,5), neighbors (N,5,3)).
 
@@ -174,13 +175,22 @@ def make_knn5(map_xyz, map_mask, cfg: LioConfig, axis=None):
     (parallel/map_sharded.ring_knn) — neighbors carry coordinates so the
     downstream fits stay device-local. Otherwise a plain replicated-map
     tiled search.
+
+    ``force_tiled``: bypass the Pallas kernel for this map (the CORNER
+    association uses it: fused into the full estimator program, the
+    Pallas search's f32 rounding differs slightly from the tiled path and
+    the corner closed loop lands in a 8x-worse trajectory basin on real
+    TPU — measured 1.57 vs 0.19 m ATE; the corner map is small (<=4096
+    rows), so the tiled path costs ~nothing there. The big surf search
+    stays on the Pallas kernel).
     """
     e = cfg.estimator
 
     if axis is None:
         def knn5(point_sel, sel_mask):
             sq_d, idx = KNN.knn(point_sel, sel_mask, map_xyz, map_mask, k=5,
-                                prune_beyond=e.min_match_sq_dis)
+                                prune_beyond=e.min_match_sq_dis,
+                                force_tiled=force_tiled)
             return sq_d, map_xyz[idx]
     else:
         from ..parallel.map_sharded import ring_knn
@@ -541,7 +551,13 @@ def lio_step_impl(
         maps = maps + (cmap_xyz, cmap_mask)
 
     if _TRUNCATE_STAGE == "map":
-        return st, {"m": maps[0]}
+        # debug dump: ALL local-map planes + the association-frame stacks
+        # (tools/profile_waterfall.py uses "m"; kernel A/B tooling reads
+        # "maps"/"stacks" to replay the exact association inputs)
+        return st, {"m": maps[0], "maps": maps,
+                    "stacks": (st.surf_xyz, st.surf_mask,
+                               st.corner_xyz, st.corner_mask),
+                    "rel_q": rel.q, "rel_t": rel.t}
 
     # ---- association sharding (distributed step only) ----
     if axis is not None:
@@ -564,7 +580,7 @@ def lio_step_impl(
     else:
         assoc = (make_knn5(maps[0], maps[1], cfg),)
         if e.use_corner:
-            assoc += (make_knn5(maps[2], maps[3], cfg),)
+            assoc += (make_knn5(maps[2], maps[3], cfg, force_tiled=True),)
 
     def frame_stacks(i):
         sx, sm = shard_rows(st.surf_xyz[i], st.surf_mask[i])

@@ -38,6 +38,16 @@ from . import odometry as ODO
 from .point_processor import StartOriTracker, process_sweep, raw_start_ori
 
 
+def _feats_from_xyzw(xyzw, start_ori, cfg):
+    """Packed (N,4|5) cloud -> features. Column 4 (present iff
+    ``cfg.sensor.uneven``) carries the per-point ring annotation — the
+    reference's PointXYZIR mode (processor_node.cc:68-74) rides the same
+    single H2D transfer as the points."""
+    ring_ids = xyzw[:, 4].astype(jnp.int32) if cfg.sensor.uneven else None
+    return process_sweep(xyzw[:, 0:3], xyzw[:, 3] > 0.5, cfg, start_ori,
+                         ring_ids)
+
+
 class PrefetchedCloud:
     """A sweep whose packed (N,4) cloud is already in flight to the device.
 
@@ -121,14 +131,14 @@ class LioPipeline:
         # overhead, independent of any data dependency) — fusing them makes
         # the per-sweep path a single program dispatch.
         def front_odo(ostate, xyzw, start_ori, enabled):
-            feats = process_sweep(xyzw[:, 0:3], xyzw[:, 3] > 0.5, cfg, start_ori)
+            feats = _feats_from_xyzw(xyzw, start_ori, cfg)
             new_state, odo_out = ODO.odometry_step(ostate, feats, cfg, enabled)
             return new_state, odo_out
 
         self._front_odo = jax.jit(front_odo)
 
         def front_lio_body(est_state, xyzw, start_ori, packed, axis=None):
-            feats = process_sweep(xyzw[:, 0:3], xyzw[:, 3] > 0.5, cfg, start_ori)
+            feats = _feats_from_xyzw(xyzw, start_ori, cfg)
             samples = PI.unpack_samples(packed.astype(dtype))
             corner = feats.corner_less_sharp if cfg.estimator.use_corner else None
             new_state, out = EST.lio_step_impl(
@@ -288,23 +298,34 @@ class LioPipeline:
             return True
         return self._is_compact(self.frame_count + offset)
 
-    def prefetch_cloud(self, xyz, mask) -> PrefetchedCloud:
+    def _check_ring(self, ring):
+        """The uneven (ring-annotated) profile REQUIRES per-point rings —
+        elevation binning is meaningless for unevenly-spaced lasers
+        (processor_node.cc:68-74). Fail loudly instead of producing a
+        silently wrong ring projection."""
+        if self.cfg.sensor.uneven and ring is None:
+            raise ValueError(
+                "config has sensor.uneven=True (ring-annotated rig) but no "
+                "per-point ring IDs were supplied — record the bag with the "
+                "driver's `ring` PointField (convert-bag carries it into "
+                "the .liol v2 log) or use an elevation-binned profile")
+
+    def prefetch_cloud(self, xyz, mask, ring=None) -> PrefetchedCloud:
         """Start the H2D transfer of a FUTURE sweep's packed cloud now.
 
         Call right after dispatching the current sweep's :meth:`process`
         so the transfer rides the tunnel while the device is busy; pass
         the returned handle to :meth:`process` in place of ``(xyz, mask)``.
         """
+        self._check_ring(ring)
         raw = (raw_start_ori(xyz, mask)
                if self._start_ori_tracker is not None else None)
         if self.dtype == jnp.float32 and isinstance(xyz, np.ndarray):
-            buf = np.empty((len(xyz), 4), np.float32)
-            buf[:, 0:3] = xyz
-            buf[:, 3] = np.asarray(mask, np.float32)
+            buf = self._pack_xyzw_np(xyz, mask, ring)
             dev = self._commit_cloud(buf) if self.mesh is not None \
                 else jax.device_put(buf)
         else:
-            dev = self._pack_xyzw(xyz, mask, self.dtype)
+            dev = self._pack_xyzw(xyz, mask, self.dtype, ring)
             if self.mesh is not None:
                 dev = self._commit_cloud(np.asarray(dev))
         return PrefetchedCloud(dev, raw)
@@ -341,21 +362,36 @@ class LioPipeline:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _pack_xyzw(xyz, mask, dtype):
-        """(N,3) points + (N,) mask -> one (N,4) array = one transfer."""
+    def _pack_xyzw_np(xyz, mask, ring=None) -> np.ndarray:
+        """Host (N,3)+(N,)[+(N,) ring] -> packed f32 (N,4|5) buffer."""
+        w = 5 if ring is not None else 4
+        out = np.empty((len(xyz), w), np.float32)
+        out[:, 0:3] = xyz
+        out[:, 3] = np.asarray(mask, np.float32)
+        if ring is not None:
+            out[:, 4] = np.asarray(ring, np.float32)
+        return out
+
+    @staticmethod
+    def _pack_xyzw(xyz, mask, dtype, ring=None):
+        """(N,3) points + (N,) mask [+ (N,) ring] -> one (N,4|5) array =
+        one transfer (ring rides as a float column, col 4)."""
         if isinstance(xyz, np.ndarray):
-            out = np.empty((len(xyz), 4), np.float32)
-            out[:, 0:3] = xyz
-            out[:, 3] = np.asarray(mask, np.float32)
-            return jnp.asarray(out, dtype)
-        return jnp.concatenate(
-            [xyz.astype(dtype), mask.astype(dtype)[:, None]], axis=1)
+            return jnp.asarray(
+                LioPipeline._pack_xyzw_np(xyz, mask, ring), dtype)
+        cols = [xyz.astype(dtype), mask.astype(dtype)[:, None]]
+        if ring is not None:
+            cols.append(jnp.asarray(ring).astype(dtype)[:, None])
+        return jnp.concatenate(cols, axis=1)
 
     def process(self, xyz: np.ndarray, mask: np.ndarray,
-                samples: Optional[jnp.ndarray]) -> dict:
+                samples: Optional[jnp.ndarray],
+                ring_ids: Optional[np.ndarray] = None) -> dict:
         """Process one sweep (+ its IMU interval). Returns pose outputs.
 
         ``samples`` is the packed (M+1, 7) buffer from :meth:`make_samples`.
+        ``ring_ids`` is the optional (N,) per-point ring annotation
+        (consumed only when ``cfg.sensor.uneven``; required then).
 
         The estimator consumes every ``io_ratio``-th sweep (`odom_io`
         yaml; PointOdometry publishes /compact_data at that cadence,
@@ -368,6 +404,8 @@ class LioPipeline:
         pf = None
         if isinstance(xyz, PrefetchedCloud):
             pf, xyz, mask = xyz, None, None
+        else:
+            self._check_ring(ring_ids)
         start_ori = None
         if self._start_ori_tracker is not None:
             raw = pf.raw_ori if pf is not None else raw_start_ori(xyz, mask)
@@ -404,12 +442,15 @@ class LioPipeline:
                 xyzw = pf.xyzw
             elif self.mesh is not None:
                 np_dtype = np.dtype(jnp.zeros((), self.dtype).dtype)
-                buf = np.empty((len(xyz), 4), np_dtype)
+                w = 5 if ring_ids is not None else 4
+                buf = np.empty((len(xyz), w), np_dtype)
                 buf[:, 0:3] = np.asarray(xyz)[:, 0:3]
                 buf[:, 3] = np.asarray(mask, np_dtype)
+                if ring_ids is not None:
+                    buf[:, 4] = np.asarray(ring_ids, np_dtype)
                 xyzw = self._commit_cloud(buf)
             else:
-                xyzw = self._pack_xyzw(xyz, mask, self.dtype)
+                xyzw = self._pack_xyzw(xyz, mask, self.dtype, ring_ids)
             if self._multiproc:
                 from ..parallel import multihost as MH
 
@@ -424,7 +465,7 @@ class LioPipeline:
             out["stage"] = self.stage
             return out
         xyzw = (pf.xyzw if pf is not None
-                else self._pack_xyzw(xyz, mask, self.dtype))
+                else self._pack_xyzw(xyz, mask, self.dtype, ring_ids))
 
         self.odom_state, odo_out = self._front_odo(
             self.odom_state, xyzw, start_ori, jnp.asarray(True))
@@ -681,7 +722,7 @@ class LoamPipeline:
         # program as the front end + odometry; in between, the cheap
         # TransformAssociateToMap chain fuses instead.
         def front_map(ostate, mstate, xyzw, start_ori):
-            feats = process_sweep(xyzw[:, 0:3], xyzw[:, 3] > 0.5, cfg, start_ori)
+            feats = _feats_from_xyzw(xyzw, start_ori, cfg)
             new_odo, odo_out = ODO.odometry_step(ostate, feats, cfg, jnp.asarray(True))
             new_map, m_out = MAP.mapping_step(
                 mstate, odo_out["corner_cloud"], odo_out["surf_cloud"],
@@ -689,7 +730,7 @@ class LoamPipeline:
             return new_odo, new_map, m_out["pose"], odo_out["pose"]
 
         def front_assoc(ostate, mstate, xyzw, start_ori):
-            feats = process_sweep(xyzw[:, 0:3], xyzw[:, 3] > 0.5, cfg, start_ori)
+            feats = _feats_from_xyzw(xyzw, start_ori, cfg)
             new_odo, odo_out = ODO.odometry_step(ostate, feats, cfg, jnp.asarray(True))
             pose = (mstate.pose @ (mstate.pose_bef.inverse() @ odo_out["pose"])).normalized()
             return new_odo, pose, odo_out["pose"]
@@ -697,14 +738,19 @@ class LoamPipeline:
         self._front_map = jax.jit(front_map)
         self._front_assoc = jax.jit(front_assoc)
 
-    def process(self, xyz: np.ndarray, mask: np.ndarray) -> dict:
+    def process(self, xyz: np.ndarray, mask: np.ndarray,
+                ring_ids: np.ndarray | None = None) -> dict:
         cfg = self.cfg
+        if cfg.sensor.uneven and ring_ids is None:
+            raise ValueError(
+                "sensor.uneven=True requires per-point ring_ids "
+                "(see LioPipeline._check_ring)")
         start_ori = None
         if self._start_ori_tracker is not None:
             start_ori = jnp.asarray(
                 self._start_ori_tracker.update(raw_start_ori(xyz, mask)),
                 self.dtype)
-        xyzw = LioPipeline._pack_xyzw(xyz, mask, self.dtype)
+        xyzw = LioPipeline._pack_xyzw(xyz, mask, self.dtype, ring_ids)
         self.frame_count += 1
 
         if self.frame_count % cfg.odometry.io_ratio == 0:

@@ -44,6 +44,10 @@ def lib() -> ctypes.CDLL:
         l.lio_log_write_sweep.restype = ctypes.c_int
         l.lio_log_write_sweep.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.POINTER(ctypes.c_float), ctypes.c_uint32]
+        l.lio_log_write_sweep2.restype = ctypes.c_int
+        l.lio_log_write_sweep2.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_uint32]
         l.lio_log_write_imu.restype = ctypes.c_int
         l.lio_log_write_imu.argtypes = [
             ctypes.c_void_p, ctypes.c_double,
@@ -56,6 +60,11 @@ def lib() -> ctypes.CDLL:
         l.lio_log_read_sweep_data.restype = ctypes.c_int
         l.lio_log_read_sweep_data.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_uint32]
+        l.lio_log_sweep_has_ring.restype = ctypes.c_int
+        l.lio_log_sweep_has_ring.argtypes = [ctypes.c_void_p]
+        l.lio_log_read_sweep_ring.restype = ctypes.c_int
+        l.lio_log_read_sweep_ring.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint16), ctypes.c_uint32]
         l.lio_log_close.argtypes = [ctypes.c_void_p]
 
         l.lio_map_create.restype = ctypes.c_void_p
@@ -94,7 +103,13 @@ def _fptr(a: np.ndarray):
 
 
 class SequenceLog:
-    """Binary sweep+IMU container (the rosbag replacement)."""
+    """Binary sweep+IMU container (the rosbag replacement).
+
+    Container v2 (liomap_native.cc) carries an optional per-point ring
+    channel for ring-annotated rigs (the reference's PointXYZIR /
+    sensor_type 320 mode, point_types.h:37-44); v1 files read fine.
+    Iteration yields ("sweep", t, xyz, rel_time, ring_or_None) and
+    ("imu", t, acc, gyr)."""
 
     def __init__(self, path: str, write: bool = False):
         self._l = lib()
@@ -102,14 +117,23 @@ class SequenceLog:
         if not self._h:
             raise IOError(f"cannot open {path}")
 
-    def write_sweep(self, t: float, xyz: np.ndarray, rel_time: np.ndarray | None = None):
+    def write_sweep(self, t: float, xyz: np.ndarray,
+                    rel_time: np.ndarray | None = None,
+                    ring: np.ndarray | None = None):
         n = len(xyz)
         buf = np.zeros((n, 4), np.float32)
         buf[:, :3] = xyz
         if rel_time is not None:
             buf[:, 3] = rel_time
         buf = np.ascontiguousarray(buf)
-        self._l.lio_log_write_sweep(self._h, float(t), _fptr(buf), n)
+        if ring is None:
+            self._l.lio_log_write_sweep(self._h, float(t), _fptr(buf), n)
+        else:
+            r = np.ascontiguousarray(ring, np.uint16)
+            assert len(r) == n, (len(r), n)
+            self._l.lio_log_write_sweep2(
+                self._h, float(t), _fptr(buf),
+                r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), n)
 
     def write_imu(self, t: float, acc: np.ndarray, gyr: np.ndarray):
         a = np.ascontiguousarray(acc, np.float32)
@@ -131,7 +155,15 @@ class SequenceLog:
             if tag == ord("S"):
                 buf = np.zeros((n.value, 4), np.float32)
                 self._l.lio_log_read_sweep_data(self._h, _fptr(buf), n.value)
-                yield ("sweep", t.value, buf[:, :3].copy(), buf[:, 3].copy())
+                ring = None
+                if self._l.lio_log_sweep_has_ring(self._h):
+                    ring = np.zeros(n.value, np.uint16)
+                    self._l.lio_log_read_sweep_ring(
+                        self._h,
+                        ring.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                        n.value)
+                yield ("sweep", t.value, buf[:, :3].copy(), buf[:, 3].copy(),
+                       ring)
             else:
                 yield ("imu", t.value, acc, gyr)
 

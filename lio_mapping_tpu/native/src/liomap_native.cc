@@ -37,14 +37,21 @@ extern "C" {
 // 1. Sequence log (binary container)
 //
 // layout: magic "LIOL" | u32 version | frames...
-// frame: u8 tag ('S' sweep | 'I' imu) |
+// v1 frame: u8 tag ('S' sweep | 'I' imu) |
 //   sweep: f64 t | u32 n | n * (3 f32 xyz + f32 rel_time_hint)
 //   imu:   f64 t | 3 f32 acc | 3 f32 gyr
+// v2 sweep frame adds an optional per-point ring channel (the reference's
+// PointXYZIR annotation for unevenly-spaced lasers, sensor_type 320 —
+// point_types.h:37-44, processor_node.cc:68-74):
+//   f64 t | u32 n | u8 flags (bit0 = has_ring) |
+//   n * (3 f32 xyz + f32 rel_time_hint) | [n * u16 ring]
+// Writers emit v2; readers accept both.
 // ===========================================================================
 
 struct LioLog {
   FILE* f = nullptr;
   bool writing = false;
+  uint32_t version = 2;
 };
 
 void* lio_log_open(const char* path, int write) {
@@ -57,29 +64,41 @@ void* lio_log_open(const char* path, int write) {
   }
   if (write) {
     std::fwrite("LIOL", 1, 4, log->f);
-    uint32_t version = 1;
+    uint32_t version = 2;
+    log->version = version;
     std::fwrite(&version, sizeof(version), 1, log->f);
   } else {
     char magic[4];
     uint32_t version = 0;
     if (std::fread(magic, 1, 4, log->f) != 4 || std::memcmp(magic, "LIOL", 4) != 0 ||
-        std::fread(&version, sizeof(version), 1, log->f) != 1) {
+        std::fread(&version, sizeof(version), 1, log->f) != 1 || version < 1 ||
+        version > 2) {
       std::fclose(log->f);
       delete log;
       return nullptr;
     }
+    log->version = version;
   }
   return log;
 }
 
-int lio_log_write_sweep(void* handle, double t, const float* xyzr, uint32_t n) {
+// ring: per-point u16 ring annotation, or null for none (v2 flag bit 0).
+int lio_log_write_sweep2(void* handle, double t, const float* xyzr,
+                         const uint16_t* ring, uint32_t n) {
   auto* log = static_cast<LioLog*>(handle);
   uint8_t tag = 'S';
   std::fwrite(&tag, 1, 1, log->f);
   std::fwrite(&t, sizeof(t), 1, log->f);
   std::fwrite(&n, sizeof(n), 1, log->f);
+  uint8_t flags = ring ? 1 : 0;
+  std::fwrite(&flags, 1, 1, log->f);
   std::fwrite(xyzr, sizeof(float) * 4, n, log->f);
+  if (ring) std::fwrite(ring, sizeof(uint16_t), n, log->f);
   return 0;
+}
+
+int lio_log_write_sweep(void* handle, double t, const float* xyzr, uint32_t n) {
+  return lio_log_write_sweep2(handle, t, xyzr, nullptr, n);
 }
 
 int lio_log_write_imu(void* handle, double t, const float* acc, const float* gyr) {
@@ -93,8 +112,11 @@ int lio_log_write_imu(void* handle, double t, const float* acc, const float* gyr
 }
 
 // Returns tag ('S'/'I'), 0 on EOF, -1 on error. For sweeps, *n_out is the
-// point count; call lio_log_read_sweep_data to fetch the payload.
+// point count; call lio_log_read_sweep_data (and, if lio_log_sweep_has_ring,
+// lio_log_read_sweep_ring) to fetch the payload.
 static thread_local std::vector<float> g_sweep_buf;
+static thread_local std::vector<uint16_t> g_ring_buf;
+static thread_local bool g_has_ring = false;
 
 int lio_log_next(void* handle, double* t_out, uint32_t* n_out, float* acc_out,
                  float* gyr_out) {
@@ -104,9 +126,17 @@ int lio_log_next(void* handle, double* t_out, uint32_t* n_out, float* acc_out,
   if (std::fread(t_out, sizeof(double), 1, log->f) != 1) return -1;
   if (tag == 'S') {
     if (std::fread(n_out, sizeof(uint32_t), 1, log->f) != 1) return -1;
+    uint8_t flags = 0;
+    if (log->version >= 2 && std::fread(&flags, 1, 1, log->f) != 1) return -1;
     g_sweep_buf.resize(size_t(*n_out) * 4);
     if (std::fread(g_sweep_buf.data(), sizeof(float) * 4, *n_out, log->f) != *n_out)
       return -1;
+    g_has_ring = (flags & 1) != 0;
+    if (g_has_ring) {
+      g_ring_buf.resize(*n_out);
+      if (std::fread(g_ring_buf.data(), sizeof(uint16_t), *n_out, log->f) != *n_out)
+        return -1;
+    }
     return 'S';
   }
   if (tag == 'I') {
@@ -121,6 +151,18 @@ int lio_log_read_sweep_data(void* handle, float* out, uint32_t n) {
   (void)handle;
   if (g_sweep_buf.size() < size_t(n) * 4) return -1;
   std::memcpy(out, g_sweep_buf.data(), sizeof(float) * 4 * n);
+  return 0;
+}
+
+int lio_log_sweep_has_ring(void* handle) {
+  (void)handle;
+  return g_has_ring ? 1 : 0;
+}
+
+int lio_log_read_sweep_ring(void* handle, uint16_t* out, uint32_t n) {
+  (void)handle;
+  if (!g_has_ring || g_ring_buf.size() < n) return -1;
+  std::memcpy(out, g_ring_buf.data(), sizeof(uint16_t) * n);
   return 0;
 }
 

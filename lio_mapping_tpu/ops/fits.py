@@ -15,6 +15,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Contraction einsums here have tiny dims (K=5, 3) but still lower to MXU
+# dot_generals, which default to bf16 passes on TPU: a ~1e-2 relative
+# error in a neighbor covariance flips line/plane directions and turned
+# the use_corner closed loop from 0.19 m (CPU f32) to 1.57 m ATE on
+# device. Full-f32 contraction costs nothing at these shapes (VPU-bound).
+_HI = jax.lax.Precision.HIGHEST
+
 
 def solve3x3(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Batched closed-form 3x3 solve (Cramer/adjugate).
@@ -45,7 +52,7 @@ def solve3x3(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     # ~half the mantissa on the ill-conditioned normal equations of
     # near-coplanar neighborhoods; the residual correction recovers it for
     # a handful of extra VPU flops (still no LAPACK custom call).
-    r = b - jnp.einsum("...ij,...j->...i", m, x)
+    r = b - jnp.einsum("...ij,...j->...i", m, x, precision=_HI)
     return x + apply_adjugate(r[..., 0], r[..., 1], r[..., 2])
 
 
@@ -148,7 +155,7 @@ def plane_fit(neighbors: jnp.ndarray, valid: jnp.ndarray, min_plane_dis: float):
     w = x / jnp.maximum(norm, 1e-12)
     d = 1.0 / jnp.maximum(norm[..., 0], 1e-12)
 
-    dist = jnp.abs(jnp.einsum("...ki,...i->...k", a, w) + d[..., None])
+    dist = jnp.abs(jnp.einsum("...ki,...i->...k", a, w, precision=_HI) + d[..., None])
     planar = jnp.all(dist <= min_plane_dis, axis=-1)
     ok = valid & planar & jnp.isfinite(d) & (norm[..., 0] > 1e-8)
     return w, d, ok
@@ -169,7 +176,7 @@ def line_fit(neighbors: jnp.ndarray, valid: jnp.ndarray):
     k = neighbors.shape[-2]
     c = jnp.mean(neighbors, axis=-2)
     dev = neighbors - c[..., None, :]
-    cov = jnp.einsum("...ki,...kj->...ij", dev, dev) / k
+    cov = jnp.einsum("...ki,...kj->...ij", dev, dev, precision=_HI) / k
     vals, vecs = sym_eig3x3(cov)  # ascending, closed form
     direction = vecs[..., :, 2]
     ok = valid & (vals[..., 2] > 3.0 * vals[..., 1])

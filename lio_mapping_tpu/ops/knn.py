@@ -31,7 +31,7 @@ def _use_pallas() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("k", "tile", "prune_beyond"))
+@partial(jax.jit, static_argnames=("k", "tile", "prune_beyond", "force_tiled"))
 def knn(
     queries: jnp.ndarray,
     q_mask: jnp.ndarray,
@@ -40,6 +40,7 @@ def knn(
     k: int = 5,
     tile: int = 2048,
     prune_beyond: float = None,
+    force_tiled: bool = False,
 ):
     """Exact kNN: for each query, the k nearest valid db points.
 
@@ -57,7 +58,7 @@ def knn(
     which keeps the whole search in VMEM; the tiled jnp path below is the
     portable fallback (and the reference implementation for testing).
     """
-    if _use_pallas() and k <= 8:
+    if _use_pallas() and k <= 8 and not force_tiled:
         from .pallas.knn_kernel import knn_pallas
 
         return knn_pallas(queries, q_mask, db, db_mask, k=k,

@@ -18,6 +18,12 @@ else:
     # alone is too late; update the live config too. Unit tests must run
     # on the virtual 8-device CPU mesh.
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # Export x64 via the environment too (not only jax.config.update):
+    # e2e tests spawn `python -m lio_mapping_tpu.cli` subprocesses, and an
+    # in-process-only config would leave them on f32 — the two runs would
+    # then diverge numerically (advisor r4: the two-phase equivalence test
+    # failed exactly this way, falsely implicating the resume path).
+    os.environ["JAX_ENABLE_X64"] = "1"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

@@ -122,6 +122,53 @@ def test_resume_and_stream_without_readbacks(tmp_path):
                                    err_msg=f"sweep {n_init + k} diverged")
 
 
+@pytest.mark.slow
+def test_resume_is_bit_exact(tmp_path):
+    """save -> load is LOSSLESS: a resumed pipeline fed the identical next
+    sweeps produces bit-identical est_state and poses to the pipeline that
+    never stopped (VERDICT r4 #1 done-criterion). Any tolerance here would
+    hide checkpoint-boundary state leaks behind float slop."""
+    cfg = small_cfg()
+    n_init, n_extra = 10, 3
+    frames = _frames(cfg, n_init + n_extra)
+
+    ref = LioPipeline(cfg, dtype=jnp.float32)
+    for xyz, mask, imu in frames[:n_init]:
+        ref.process(xyz, mask, ref.make_samples(*imu))
+    assert ref.stage == "INITED"
+    ckpt = str(tmp_path / "exact_ckpt.npz")
+    ref.save(ckpt)
+
+    res = LioPipeline(cfg, dtype=jnp.float32)
+    res.load(ckpt)
+    assert res.frame_count == ref.frame_count
+    assert res._compact_count == ref._compact_count
+
+    # resumed state itself is bit-identical to the live state
+    for a, b in zip(jax.tree_util.tree_leaves(ref.est_state),
+                    jax.tree_util.tree_leaves(res.est_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert len(ref._pending) <= 1 or np.array_equal(
+        ref._merge_pending(), res._merge_pending())
+
+    # ...and stays bit-identical through further steps (compact AND
+    # predicted sweeps: io_ratio 2 alternates both step kinds here)
+    for k, (xyz, mask, imu) in enumerate(frames[n_init:]):
+        o_ref = ref.process(xyz, mask, ref.make_samples(*imu))
+        o_res = res.process(xyz, mask, res.make_samples(*imu))
+        np.testing.assert_array_equal(
+            np.asarray(o_ref["laser_pose"].t),
+            np.asarray(o_res["laser_pose"].t),
+            err_msg=f"post-resume sweep {k} position diverged")
+        np.testing.assert_array_equal(
+            np.asarray(o_ref["laser_pose"].q),
+            np.asarray(o_res["laser_pose"].q),
+            err_msg=f"post-resume sweep {k} orientation diverged")
+    for a, b in zip(jax.tree_util.tree_leaves(ref.est_state),
+                    jax.tree_util.tree_leaves(res.est_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_load_is_h2d_only(tmp_path):
     """pipe.load alone (the resume entry) performs no readbacks."""
     cfg = small_cfg()

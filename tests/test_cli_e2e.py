@@ -125,6 +125,67 @@ def test_full_cli_loop_mesh2(sequence, capsys):
 
 
 @pytest.mark.slow
+def test_ring_annotated_uneven_e2e(sequence, capsys):
+    """sensor_type-320 path end-to-end (VERDICT r4 next #3): a bag whose
+    clouds carry ONLY ring annotations (Velodyne-driver `ring` PointField)
+    drives the full CLI loop under a ``sensor.uneven`` profile —
+    convert-bag carries the rings into the .liol v2 log, the pipeline
+    threads them to the device program, and project_to_rings uses them
+    in place of elevation binning (processor_node.cc:68-74,
+    point_types.h:37-44)."""
+    from lio_mapping_tpu import native
+    from lio_mapping_tpu.io import rosbag as RB
+
+    d = sequence["dir"]
+    bag = str(d / "ring.bag")
+    log_r = str(d / "ring.liol")
+    cfg_yaml = str(d / "uneven.yaml")
+    traj = str(d / "traj_uneven.tum")
+
+    # annotate each simulated sweep with its elevation-derived ring id;
+    # the run below must recover the same binning from the annotation
+    # alone (sensor.uneven skips elevation entirely)
+    n_rings, lo, hi = 16, -15.0, 15.0
+    factor = (n_rings - 1) / (hi - lo)
+    n_ann = 0
+    with RB.BagWriter(bag, compression="bz2") as w:
+        for item in native.SequenceLog(sequence["log"]):
+            if item[0] == "imu":
+                _, t, acc, gyr = item
+                w.write("/imu/data", "sensor_msgs/Imu", t,
+                        RB.serialize_imu(t, acc, gyr))
+            else:
+                t, xyz = item[1], item[2]
+                ele = np.degrees(np.arctan2(
+                    xyz[:, 2], np.hypot(xyz[:, 0], xyz[:, 1])))
+                ring = np.floor((ele - lo) * factor + 0.5).astype(np.int32)
+                keep = (ring >= 0) & (ring < n_rings)
+                w.write("/velodyne_points", "sensor_msgs/PointCloud2", t,
+                        RB.serialize_pointcloud2(
+                            t, xyz[keep], None,
+                            ring[keep].astype(np.uint16)))
+                n_ann += 1
+    assert n_ann == N_SWEEPS
+    assert cli.main(["convert-bag", "--bag", bag, "--out", log_r]) == 0
+    capsys.readouterr()
+
+    with open(cfg_yaml, "w") as f:
+        yaml.safe_dump({**SMALL_PROFILE, "sensor": {"uneven": True}}, f)
+    assert cli.main(["run", "--log", log_r, "--config", cfg_yaml,
+                     "--out", traj, "--mode", "lio"]) == 0
+    out = capsys.readouterr().out
+    assert "stage: INITED" in out, out
+    ate = _ate(capsys, traj, sequence["gt"])
+    assert ate < 0.45, f"uneven-profile CLI loop ATE {ate} m"
+
+    # an uneven profile without ring data must fail loudly, not produce a
+    # silently wrong elevation binning
+    with pytest.raises(ValueError, match="ring"):
+        cli.main(["run", "--log", sequence["log"], "--config", cfg_yaml,
+                  "--out", str(d / "nope.tum"), "--mode", "lio"])
+
+
+@pytest.mark.slow
 def test_two_phase_clean_stream_matches_single(sequence, capsys):
     """``run --two-phase`` (init in a throwaway subprocess, H2D-only
     resume + zero-readback stream in a fresh one — the clean-stream

@@ -33,6 +33,49 @@ class TestSequenceLog:
         np.testing.assert_allclose(items[0][2], [0.1, 0.2, 9.8], atol=1e-6)
 
 
+    def test_ring_roundtrip(self, lib, tmp_path, rng):
+        """v2 container: optional per-point ring channel (the reference's
+        PointXYZIR annotation, point_types.h:37-44) round-trips; ringless
+        sweeps in the same file stay ringless."""
+        path = str(tmp_path / "ring.liol")
+        log = lib.SequenceLog(path, write=True)
+        pts = rng.normal(size=(64, 3)).astype(np.float32)
+        ring = (np.arange(64) % 16).astype(np.uint16)
+        log.write_sweep(0.1, pts, None, ring=ring)
+        log.write_sweep(0.2, pts)
+        log.close()
+
+        items = list(lib.SequenceLog(path))
+        assert [it[0] for it in items] == ["sweep", "sweep"]
+        np.testing.assert_array_equal(items[0][4], ring)
+        np.testing.assert_allclose(items[0][2], pts)
+        assert items[1][4] is None
+
+    def test_v1_backcompat(self, lib, tmp_path):
+        """v1 .liol files (no per-sweep flags byte) still read."""
+        import struct
+
+        path = str(tmp_path / "v1.liol")
+        pts = np.arange(12, dtype=np.float32).reshape(4, 3)
+        buf = np.zeros((4, 4), np.float32)
+        buf[:, :3] = pts
+        with open(path, "wb") as f:
+            f.write(b"LIOL")
+            f.write(struct.pack("<I", 1))
+            f.write(b"S")
+            f.write(struct.pack("<d", 0.1))
+            f.write(struct.pack("<I", 4))
+            f.write(buf.tobytes())
+            f.write(b"I")
+            f.write(struct.pack("<d", 0.15))
+            f.write(np.ones(3, np.float32).tobytes())
+            f.write(np.zeros(3, np.float32).tobytes())
+        items = list(lib.SequenceLog(path))
+        assert [it[0] for it in items] == ["sweep", "imu"]
+        np.testing.assert_allclose(items[0][2], pts)
+        assert items[0][4] is None
+
+
 class TestGlobalVoxelMap:
     def test_centroids(self, lib):
         m = lib.GlobalVoxelMap(1.0)

@@ -1,0 +1,109 @@
+"""End-to-end CLI throughput (VERDICT r4 next #4): time the PRODUCTION
+entry point — ``cli run --two-phase`` phase B over a pre-generated log —
+and record f/s plus the host-ingest / step-dispatch / flush split.
+
+Simulation cost is excluded by generating the log once up front; the
+stats JSON is produced by the phase-B process itself (``--stats-json``),
+so the number includes everything a deployment pays per sweep: log parse,
+MeasurementQueue pairing, IMU boundary interpolation, sample packing,
+program dispatch, and the chunked deferred readbacks.
+
+Usage: python tools/bench_cli.py [--sweeps 400] [--out CLI_THROUGHPUT.json]
+       [--profile-config small|indoor] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SMALL_YAML = """\
+estimator:
+  window_size: 5
+  opt_window_size: 3
+  init_window_factor: 1
+  estimate_extrinsic: 0
+  opt_extrinsic: false
+  extrinsic_rotation: [1, 0, 0, 0, 1, 0, 0, 0, 1]
+  extrinsic_translation: [0.0, 0.0, 0.0]
+  surf_stack_cap: 2048
+  local_map_filtered_cap: 8192
+  features_per_frame_cap: 2048
+  max_solver_iterations: 8
+"""
+
+
+def run(cmd, env=None):
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=REPO)
+    if p.returncode != 0:
+        sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-2000:])
+        raise SystemExit(f"command failed: {' '.join(cmd)}")
+    return p.stdout
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweeps", type=int, default=400)
+    ap.add_argument("--azimuth", type=int, default=900)
+    ap.add_argument("--out", default=os.path.join(REPO, "CLI_THROUGHPUT.json"))
+    ap.add_argument("--profile-config", default="small",
+                    choices=["small", "indoor"],
+                    help="small = CI-sized caps; indoor = shipped profile")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    env = dict(os.environ)
+    if args.cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+
+    with tempfile.TemporaryDirectory() as td:
+        log = os.path.join(td, "seq.liol")
+        gt = os.path.join(td, "gt.tum")
+        traj = os.path.join(td, "traj.tum")
+        stats = os.path.join(td, "stats.json")
+        cli = [sys.executable, "-m", "lio_mapping_tpu.cli"]
+
+        run(cli + ["simulate", "--out", log, "--sweeps", str(args.sweeps),
+                   "--azimuth", str(args.azimuth), "--gt-out", gt], env)
+
+        run_cmd = cli + ["run", "--log", log, "--out", traj, "--mode", "lio",
+                         "--two-phase", "--stats-json", stats]
+        if args.profile_config == "small":
+            cfg = os.path.join(td, "small.yaml")
+            with open(cfg, "w") as f:
+                f.write(SMALL_YAML)
+            run_cmd += ["--config", cfg]
+        else:
+            run_cmd += ["--profile", "indoor"]
+        run(run_cmd, env)
+
+        with open(stats) as f:
+            payload = json.load(f)
+
+        ev = run(cli + ["evaluate", "--est", traj, "--gt", gt], env)
+        for line in ev.splitlines():
+            if line.startswith("ATE RMSE:"):
+                payload["ate_rmse_m"] = float(line.split()[2])
+
+        payload.update({
+            "metric": "cli_phaseB_frames_per_sec",
+            "value": payload["fps_steady"],
+            "unit": "frames/s",
+            "n_sim_sweeps": args.sweeps,
+            "profile_config": args.profile_config,
+            "methodology": "two_phase phase-B replay over pre-generated "
+                           ".liol log; sim cost excluded; fps_steady "
+                           "excludes the first-step compile",
+        })
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
