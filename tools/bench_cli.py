@@ -51,9 +51,12 @@ def main():
     ap.add_argument("--sweeps", type=int, default=400)
     ap.add_argument("--azimuth", type=int, default=900)
     ap.add_argument("--out", default=os.path.join(REPO, "CLI_THROUGHPUT.json"))
-    ap.add_argument("--profile-config", default="small",
+    ap.add_argument("--profile-config", default="indoor",
                     choices=["small", "indoor"],
-                    help="small = CI-sized caps; indoor = shipped profile")
+                    help="indoor = shipped profile (default; the small "
+                         "CI config's 5/3 window cannot hold tracking "
+                         "over hundreds of sweeps — it diverges on any "
+                         "platform and is only meant for short tests)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -98,7 +101,8 @@ def main():
             "profile_config": args.profile_config,
             "methodology": "two_phase phase-B replay over pre-generated "
                            ".liol log; sim cost excluded; fps_steady "
-                           "excludes the first-step compile",
+                           "excludes compile steps (>10x median) and the "
+                           "end-of-run pose flush",
         })
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=1)
