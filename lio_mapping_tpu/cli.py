@@ -347,6 +347,19 @@ def cmd_run(args):
     delay = cfg.estimator.msg_time_delay
     prev_bound = None  # (t_b, acc_b, gyr_b): interpolated interval boundary
     skip_pairs = getattr(args, "skip_pairs", 0) or 0
+    # two-phase --map-out completeness: phase A's final (init) sweep is
+    # the one INITED sweep whose cloud never reaches THIS process's
+    # pipeline (it lives inside --skip-pairs). Its pose is the last line
+    # of the phase-A prefix — insert its world-transformed cloud here so
+    # the exported map matches the single-process run sweep-for-sweep.
+    init_map_entry = None
+    if global_map is not None and getattr(args, "traj_prefix", None) \
+            and skip_pairs:
+        from .io.evaluation import load_tum as _load_tum
+
+        _tp, _qp, _pp = _load_tum(args.traj_prefix)
+        if len(_tp):
+            init_map_entry = (float(_tp[-1]), _qp[-1], _pp[-1])
     if getattr(args, "bound_in", None):
         # phase-B resume: the skipped pairs' IMU already lives inside the
         # checkpoint; restore the interval-boundary state the phase-A
@@ -411,6 +424,14 @@ def cmd_run(args):
                 t, sid, imu_t, acc, gyr = pair
                 xyz, mask, ring, pf = sweeps.pop(sid)
                 if pair_idx < skip_pairs:
+                    if init_map_entry is not None \
+                            and abs(t - init_map_entry[0]) < 1e-6:
+                        from scipy.spatial.transform import Rotation
+
+                        _, q_i, p_i = init_map_entry
+                        world = Rotation.from_quat(np.roll(q_i, -1)) \
+                            .apply(xyz[mask]) + p_i
+                        global_map.insert(world.astype(np.float32))
                     pair_idx += 1
                     continue
                 samples = None
@@ -847,10 +868,12 @@ def main(argv=None):
                         "with zero device readbacks (on the tunneled TPU "
                         "a single readback permanently degrades dispatch "
                         "~45x — see README 'device-queue discipline'). "
-                        "Note: --map-out/--out-4d/--enable-4d run in phase "
-                        "B only, so those exports start one sweep after "
-                        "init (the init sweep itself lives in the "
-                        "throwaway phase-A process)")
+                        "--map-out is complete (phase B inserts the init "
+                        "sweep's cloud at its phase-A pose); --out-4d/"
+                        "--enable-4d start one sweep after init (the 4D "
+                        "builder needs the init sweep's device-side "
+                        "feature clouds, which live in the throwaway "
+                        "phase-A process)")
     # internal worker flags for --two-phase (also usable directly to
     # resume a checkpointed replay mid-log)
     p.add_argument("--stop-at-init", default=None, metavar="SIDECAR",

@@ -198,13 +198,15 @@ def test_two_phase_clean_stream_matches_single(sequence, capsys):
     d = sequence["dir"]
     traj_sp = str(d / "traj_sp.tum")
     traj_tp = str(d / "traj_tp.tum")
+    map_sp = str(d / "map_sp.pcd")
+    map_tp = str(d / "map_tp.pcd")
 
     assert cli.main(["run", "--log", sequence["log"], "--config",
                      sequence["cfg"], "--out", traj_sp,
-                     "--mode", "lio"]) == 0
+                     "--map-out", map_sp, "--mode", "lio"]) == 0
     assert cli.main(["run", "--log", sequence["log"], "--config",
                      sequence["cfg"], "--out", traj_tp, "--mode", "lio",
-                     "--two-phase"]) == 0
+                     "--map-out", map_tp, "--two-phase"]) == 0
 
     t_sp, q_sp, p_sp = load_tum(traj_sp)
     t_tp, q_tp, p_tp = load_tum(traj_tp)
@@ -215,3 +217,16 @@ def test_two_phase_clean_stream_matches_single(sequence, capsys):
     # quaternion sign is gauge; compare |dot|
     dots = np.abs(np.sum(q_tp * q_sp, axis=-1))
     assert dots.min() > 1.0 - 1e-6, f"min |q dot| {dots.min()}"
+
+    # --map-out parity: phase B re-inserts the init sweep's cloud at its
+    # phase-A pose, so the exported maps hold the SAME voxel set (poses
+    # are identical, hence identical world points and voxel keys)
+    def _n_voxels(path):
+        with open(path, "rb") as f:
+            head = f.read(300).decode("ascii", "ignore")
+        m = re.search(r"POINTS (\d+)", head)
+        assert m, head
+        return int(m.group(1))
+
+    n_sp, n_tp = _n_voxels(map_sp), _n_voxels(map_tp)
+    assert n_sp == n_tp, f"two-phase map lost voxels: {n_tp} vs {n_sp}"
