@@ -137,3 +137,19 @@ def test_evaluate_timestamp_association(tmp_path, capsys):
     far = str(tmp_path / "far.tum")
     save_tum(far, times[keep] + 1000.0, qs[keep], ps[keep])
     assert cli.main(["evaluate", "--est", far, "--gt", gt]) == 1
+
+
+def test_run_flag_validation(tmp_path, capsys):
+    """Advisor-r4 flag hygiene: --stop-at-init without --checkpoint-out
+    and --two-phase with --resume are refused up front (exit 2) instead
+    of silently producing an unresumable sidecar / ignoring the resume."""
+    log = str(tmp_path / "missing.liol")  # never opened: validation first
+    rc = cli.main(["run", "--log", log, "--out", str(tmp_path / "t.tum"),
+                   "--mode", "lio", "--stop-at-init",
+                   str(tmp_path / "side.json")])
+    assert rc == 2
+
+    rc = cli.main(["run", "--log", log, "--out", str(tmp_path / "t.tum"),
+                   "--mode", "lio", "--two-phase", "--resume",
+                   str(tmp_path / "ck.npz")])
+    assert rc == 2
