@@ -78,11 +78,12 @@ def test_full_cli_loop(sequence, capsys):
     traj = str(d / "traj.tum")
     traj4d = str(d / "traj_4d.tum")
     pcd = str(d / "map.pcd")
+    stats = str(d / "stats.json")
 
     assert cli.main(["run", "--log", sequence["log"], "--config",
                      sequence["cfg"], "--out", traj, "--mode", "lio",
                      "--map-out", pcd, "--enable-4d", "--out-4d",
-                     traj4d]) == 0
+                     traj4d, "--stats-json", stats]) == 0
     out = capsys.readouterr().out
     assert "stage: INITED" in out, out
     assert "4D-refined poses" in out, out
@@ -103,6 +104,19 @@ def test_full_cli_loop(sequence, capsys):
     with open(pcd, "rb") as f:
         head = f.read(300).decode("ascii", "ignore")
     assert "POINTS" in head and "DATA" in head
+
+    # replay stats artifact (the driver-facing throughput record): all
+    # pairs accounted, wall split fields present and self-consistent
+    import json
+
+    with open(stats) as f:
+        st = json.load(f)
+    assert st["n_pairs"] == N_SWEEPS - 1  # first sweep awaits leading IMU
+    for key in ("fps_steady", "per_step_ms_median", "t_compile_s",
+                "t_flush_s", "t_ingest_s", "dispatch_floor_ms"):
+        assert key in st, key
+    assert st["fps_steady"] > 0
+    assert st["t_step_s"] <= st["loop_wall_s"] + 1e-6
 
 
 @pytest.mark.slow
