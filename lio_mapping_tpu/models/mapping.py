@@ -145,8 +145,12 @@ def optimize_to_map(
         pose = Pose(q, t)
 
         # ---- corner associations: 5-NN line fit ----
+        # force_tiled: the Pallas search fused into the full mapping
+        # program degrades the corner path on real TPU exactly as in the
+        # estimator (LOAM 90-sweep A/B: 0.060 m pallas vs 0.021 m tiled;
+        # see make_knn5's note) — the corner DB is small, tiled is cheap
         c_sel = pose.apply(corner_stack)
-        c_d, c_idx = KNN.knn(c_sel, corner_stack_mask, corner_db, corner_db_mask, k=5, prune_beyond=mcfg.min_match_sq_dis)
+        c_d, c_idx = KNN.knn(c_sel, corner_stack_mask, corner_db, corner_db_mask, k=5, prune_beyond=mcfg.min_match_sq_dis, force_tiled=True)
         c_ok = c_d[:, 4] < mcfg.min_match_sq_dis
         centroid, direction, line_ok = line_fit(corner_db[c_idx], c_ok)
         ld2, c_n = point_to_line_residual(c_sel, centroid, direction)
